@@ -1,0 +1,9 @@
+from .schedule import DiffusionSchedule, linear_beta_schedule
+from .process import (
+    q_sample,
+    predict_x0_from_eps,
+    ddpm_posterior_mean,
+    ddpm_sampling_variance,
+    ddim_coefficients,
+)
+from .sampler import ddpm_sample, ddim_sample
