@@ -1,0 +1,93 @@
+"""Benchmark harness: DDIM sampling throughput at the reference operating
+point (256², batch 16, 100 DDIM steps, ch=128 U-Net — BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the driver-defined nominal single-GPU estimate of 1.0 image/sec
+for 100-step DDIM sampling of this U-Net at 256² batch 16 (a ~35M-param
+UNet forward ≈150 ms/batch on a V100-class card ⇒ ~15 s per 16-image batch).
+vs_baseline = measured images/sec ÷ 1.0.
+
+Env overrides: BENCH_BATCH, BENCH_STEPS, BENCH_SIZE, BENCH_REPS, BENCH_QUICK.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REFERENCE_SINGLE_GPU_IMAGES_PER_SEC = 1.0  # nominal estimate, see docstring
+
+
+def main():
+    quick = bool(int(os.environ.get("BENCH_QUICK", "0")))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    size = int(os.environ.get("BENCH_SIZE", "256"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    if quick:
+        batch, steps, size, reps = 4, 10, 64, 2
+
+    from hybrid_diffusion_tpu.diffusion import ddim_sample, linear_beta_schedule
+    from hybrid_diffusion_tpu.models import DynamicUNet
+
+    model = DynamicUNet(
+        T=1000,
+        ch=32 if quick else 128,
+        ch_mult=(1, 2) if quick else (1, 2, 2, 2),
+        num_res_blocks=1 if quick else 2,
+        dropout=0.0,
+        dtype=jnp.bfloat16,
+    )
+    x6 = jnp.zeros((batch, size, size, 6))
+    t0 = time.time()
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x6, jnp.zeros((batch,), jnp.int32)
+    )
+    jax.block_until_ready(params)
+    print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
+
+    schedule = linear_beta_schedule(1e-4, 0.02, 1000)
+
+    def denoise(x6, t, context_zero=True):
+        return model.apply(params, x6, t, context_zero=context_zero)
+
+    @jax.jit
+    def sample(cond, rng):
+        return ddim_sample(denoise, schedule, cond, rng, ddim_steps=steps)
+
+    cond = jnp.zeros((batch, size, size, 3))
+    t0 = time.time()
+    out = jax.block_until_ready(sample(cond, jax.random.PRNGKey(1)))
+    print(f"# compile+first run {time.time()-t0:.0f}s", file=sys.stderr)
+
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(sample(cond, jax.random.PRNGKey(2 + i)))
+        times.append(time.time() - t0)
+    best = min(times)
+    images_per_sec = batch / best
+    print(f"# times={['%.3f' % t for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"images/sec/chip {size}x{size} DDIM-{steps} sampling "
+                  f"(batch {batch}, bf16)",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(
+            images_per_sec / REFERENCE_SINGLE_GPU_IMAGES_PER_SEC, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

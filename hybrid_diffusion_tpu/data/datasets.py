@@ -1,0 +1,153 @@
+"""Paired image datasets.
+
+Replaces the reference's Underwater_Dataset / Atmospheric_Dataset
+(utils/utils.py:309-473): indexable sources of (degraded, gt[, filename])
+pairs at a fixed resolution, returning uint8 HWC numpy — normalization
+happens on device (train/step.py:normalize_uint8), so host→device traffic
+stays 1 byte/pixel (the reference also ships uint8 tensors, utils.py:
+318-323).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .registry import (
+    ATMOSPHERIC_DATASETS,
+    UNDERWATER_DATASETS,
+    dataset_splits,
+    load_image,
+    resize_image,
+)
+
+
+class PairedImageDataset:
+    """Filesystem-backed (input, gt) pairs for one corpus and task split."""
+
+    def __init__(
+        self,
+        name: str,
+        task: str = "train",
+        dataset_path: str = "./data/",
+        image_size: int = 256,
+        supervised: bool = True,
+    ):
+        if task not in ("train", "test", "val"):
+            raise ValueError(f"task must be train/test/val, got {task!r}")
+        splits = dataset_splits(name, dataset_path)
+        self.input_paths, self.gt_paths = splits[task]
+        if supervised and len(self.input_paths) != len(self.gt_paths):
+            n = min(len(self.input_paths), len(self.gt_paths))
+            self.input_paths, self.gt_paths = (
+                self.input_paths[:n], self.gt_paths[:n])
+        self.name = name
+        self.task = task
+        self.image_size = image_size
+        self.supervised = supervised
+
+    def __len__(self) -> int:
+        return len(self.input_paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        inp = resize_image(load_image(self.input_paths[idx]), self.image_size)
+        if self.supervised:
+            gt = resize_image(load_image(self.gt_paths[idx]), self.image_size)
+        else:
+            gt = inp
+        return {
+            "input": inp,
+            "gt": gt,
+            "name": self.input_paths[idx].rsplit("/", 1)[-1],
+        }
+
+
+class SyntheticPairedDataset:
+    """Deterministic synthetic degraded/clean pairs for tests and benches.
+
+    The real corpora (UIEB/HICRD/LoLI, …) are not shipped with the
+    reference snapshot either (`.MISSING_LARGE_BLOBS`); this fixture
+    produces structured images (color gradients + shapes) with a synthetic
+    underwater (blue-shifted, contrast-crushed) or atmospheric (darkened)
+    degradation so enhancement training has real signal to learn.
+    """
+
+    def __init__(
+        self,
+        length: int = 64,
+        image_size: int = 256,
+        domain: str = "underwater",
+        seed: int = 0,
+    ):
+        assert domain in ("underwater", "atmospheric")
+        self.length = length
+        self.image_size = image_size
+        self.domain = domain
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _clean(self, rng: np.random.RandomState) -> np.ndarray:
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        base = np.stack(
+            [
+                0.5 + 0.5 * np.sin(2 * np.pi * (xx * rng.uniform(1, 3))),
+                0.5 + 0.5 * np.cos(2 * np.pi * (yy * rng.uniform(1, 3))),
+                0.5 + 0.5 * np.sin(2 * np.pi * (xx + yy) * rng.uniform(1, 2)),
+            ],
+            axis=-1,
+        )
+        # A few random bright rectangles for edges/sharpness signal.
+        for _ in range(4):
+            x0, y0 = rng.randint(0, max(s - s // 4, 1), 2)
+            w, h = rng.randint(max(s // 16, 2), max(s // 4, 3), 2)
+            base[y0 : y0 + h, x0 : x0 + w] = rng.uniform(0.2, 1.0, 3)
+        return np.clip(base * 255, 0, 255).astype(np.uint8)
+
+    def _degrade(self, img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        x = img.astype(np.float32) / 255.0
+        if self.domain == "underwater":
+            # Attenuate red, boost blue-green, crush contrast — crude
+            # water-column transmission model.
+            atten = np.array([0.35, 0.75, 0.95], np.float32)
+            x = x * atten + np.array([0.0, 0.05, 0.12], np.float32)
+            x = 0.7 * x + 0.1
+        else:
+            # Low light: gamma-darken + noise.
+            x = np.power(x, 2.2) * 0.35
+        x = x + rng.normal(0, 0.02, x.shape).astype(np.float32)
+        return np.clip(x * 255, 0, 255).astype(np.uint8)
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        gt = self._clean(rng)
+        return {
+            "input": self._degrade(gt, rng),
+            "gt": gt,
+            "name": f"synthetic_{self.domain}_{idx:05d}.png",
+        }
+
+
+def make_dataset(
+    name: str,
+    task: str = "train",
+    dataset_path: str = "./data/",
+    image_size: int = 256,
+    supervised: bool = True,
+    synthetic_length: int = 64,
+):
+    """Dataset factory: corpus name, or "synthetic-underwater" /
+    "synthetic-atmospheric" for the fixture."""
+    if name.startswith("synthetic"):
+        domain = name.split("-", 1)[1] if "-" in name else "underwater"
+        return SyntheticPairedDataset(
+            length=synthetic_length, image_size=image_size, domain=domain
+        )
+    if name not in UNDERWATER_DATASETS + ATMOSPHERIC_DATASETS:
+        raise ValueError(f"Unknown dataset {name!r}")
+    return PairedImageDataset(
+        name, task, dataset_path, image_size, supervised
+    )

@@ -1,0 +1,138 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces the reference's torch DataLoader(num_workers=4, pin_memory) +
+DistributedSampler stack (rotinas.py:593-605, 588-600) with a thread-pool
+loader tuned for the TPU ingestion pattern:
+
+  - workers decode/resize on the host while the device computes;
+  - batches are uint8 NHWC (4× less host→device traffic than float32);
+  - `shard_for_host` slices the index space per JAX process, replacing
+    DistributedSampler for multi-host SPMD (each host feeds its local
+    devices; GSPMD sees one global array via device_put on a sharding);
+  - epoch seeding reshuffles like sampler.set_epoch (rotinas.py:680-681).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def shard_for_host(
+    indices: np.ndarray,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> np.ndarray:
+    """Contiguous per-host shard of the (shuffled) index space."""
+    if process_count is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    per = len(indices) // process_count
+    if per == 0:
+        return indices
+    return indices[process_index * per : (process_index + 1) * per]
+
+
+class BatchLoader:
+    """Iterates dict batches {input: (B,H,W,3) u8, gt: ..., name: list}.
+
+    drop_last=True keeps shapes static across steps — one compiled program,
+    no retrace (XLA requirement the torch loader doesn't have).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        shard_hosts: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.shard_hosts = shard_hosts
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling per epoch (the DistributedSampler.set_epoch
+        role, rotinas.py:680-681)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.shard_hosts:
+            idx = shard_for_host(idx)
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _assemble(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> dict:
+        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+        return {
+            "input": np.stack([it["input"] for it in items]),
+            "gt": np.stack([it["gt"] for it in items]),
+            "name": [it["name"] for it in items],
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        nb = len(self)
+        if nb == 0:
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    batch_idx = idx[lo : lo + self.batch_size]
+                    q.put(self._assemble(pool, batch_idx))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def interleave(*loaders: BatchLoader) -> Iterator[dict]:
+    """Round-robin over several loaders until all are exhausted — the
+    reference's multi-dataloader interleaving (rotinas.py:487-519), used to
+    mix underwater and atmospheric batches within an epoch."""
+    iters = [iter(l) for l in loaders]
+    alive = [True] * len(iters)
+    while any(alive):
+        for i, it in enumerate(iters):
+            if not alive[i]:
+                continue
+            try:
+                yield next(it)
+            except StopIteration:
+                alive[i] = False

@@ -1,0 +1,76 @@
+"""Composite enhancement loss — the trainer's full objective.
+
+Reference: diffusion/Diffusion.py:83-178. Live weights at HEAD (:159):
+MSE 1.0 (per-element, the diffusion term) + DINO-perceptual 0.5 +
+MS-SSIM 0.0045 + angular-color 1.0, with VGG-perceptual and Charbonnier
+terms present-but-disabled. The reference's commented history and its
+run-book (aplicacao.ipynb) show stage-dependent weight sets were the
+intent, so weights are a config here with the reference's live values as
+default.
+
+Range fixes vs reference (SURVEY.md §2.9.5): the reconstructed x₀ used by
+the auxiliary losses has no stray /255 and all auxiliary losses see a
+consistent [-1, 1] range (MS-SSIM internally maps to [0, 1]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from .charbonnier import charbonnier_loss
+from .color import angular_color_loss
+from .ms_ssim import ms_ssim_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class CompositeLossConfig:
+    mse_weight: float = 1.0
+    dino_weight: float = 0.5
+    ms_ssim_weight: float = 0.0045
+    color_weight: float = 1.0
+    charbonnier_weight: float = 0.0
+    vgg_weight: float = 0.0
+
+
+def composite_enhancement_loss(
+    noise_pred: jnp.ndarray,
+    noise: jnp.ndarray,
+    x0_pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    config: CompositeLossConfig = CompositeLossConfig(),
+    dino_loss_fn: Optional[Callable] = None,
+    vgg_loss_fn: Optional[Callable] = None,
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """All inputs NHWC; gt and x0_pred in [-1, 1]. Returns (loss, parts).
+
+    parts holds each unweighted term for logging (the reference logs the
+    weighted per-term values; both are reconstructable from config).
+    """
+    parts: dict[str, Any] = {}
+    mse = jnp.mean((noise_pred - noise) ** 2)
+    parts["mse"] = mse
+    loss = config.mse_weight * mse
+
+    x0_c = jnp.clip(x0_pred, -1.0, 1.0)
+    if config.dino_weight and dino_loss_fn is not None:
+        parts["dino"] = dino_loss_fn(x0_c, gt)
+        loss = loss + config.dino_weight * parts["dino"]
+    if config.ms_ssim_weight:
+        # Map to [0, 1]: MS-SSIM constants assume non-negative intensities.
+        parts["ms_ssim"] = ms_ssim_loss((x0_c + 1) / 2, (gt + 1) / 2)
+        loss = loss + config.ms_ssim_weight * parts["ms_ssim"]
+    if config.color_weight:
+        parts["color"] = angular_color_loss((x0_c + 1) / 2, (gt + 1) / 2)
+        loss = loss + config.color_weight * parts["color"]
+    if config.charbonnier_weight:
+        parts["charbonnier"] = charbonnier_loss(x0_c, gt)
+        loss = loss + config.charbonnier_weight * parts["charbonnier"]
+    if config.vgg_weight and vgg_loss_fn is not None:
+        parts["vgg"] = vgg_loss_fn(x0_c, gt)
+        loss = loss + config.vgg_weight * parts["vgg"]
+
+    parts["total"] = loss
+    return loss, parts

@@ -1,0 +1,238 @@
+"""Perceptual losses: DINOv2 ViT-S/14 and VGG16 feature matching in flax.
+
+Reference parity targets (Loss/loss.py):
+  - PerceptualLoss_dino (:15-154): DINOv2 ViT-S/14 via torch.hub, frozen;
+    center-crop 256→252 for /14 patching (:61-82); smooth-L1 over hooked
+    features summed. The reference hooks EVERY named module (:107-113) — an
+    accident that double-counts nested modules; here features are the
+    outputs of each of the 12 transformer blocks plus the final norm
+    (a principled fixed list, divergence documented per SURVEY.md §7).
+  - PerceptualLoss_vgg (:159-241): VGG-16 features, L1 at layer indices
+    {3, 8, 15, 22} (the reference's post-ReLU taps of conv1_2, conv2_2,
+    conv3_3, conv4_3).
+
+Weights: this build environment has no network egress, so pretrained
+weights load from a local file when provided (``weights_path`` pointing to
+an .npz with matching parameter names, or a torch state_dict via
+``load_torch_dino_weights``); otherwise the extractors run with a fixed
+random init — random-feature perceptual distances are still a usable
+training signal and keep the loss interface identical.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def center_crop_to_multiple(x: jnp.ndarray, multiple: int = 14) -> jnp.ndarray:
+    """Center-crop NHWC spatial dims down to the nearest multiple.
+
+    256→252 at multiple=14, matching the reference's negative-pad crop
+    (Loss/loss.py:61-82).
+    """
+    B, H, W, C = x.shape
+    nh, nw = (H // multiple) * multiple, (W // multiple) * multiple
+    top, left = (H - nh) // 2, (W - nw) // 2
+    return x[:, top : top + nh, left : left + nw, :]
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(h, h)
+        x = x + h
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class ViTSmall(nn.Module):
+    """DINOv2-style ViT-S/14: patch 14, dim 384, 6 heads, 12 blocks."""
+
+    patch_size: int = 14
+    dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    num_positions: int = 1370  # 37×37 patches + cls (DINOv2 518² training res)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        """x: (B, H, W, 3) with H, W multiples of patch_size.
+        Returns [block_0_out, ..., block_{depth-1}_out, final_norm_out],
+        each (B, N+1, dim)."""
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+        x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
+                    strides=self.patch_size, dtype=self.dtype,
+                    name="patch_embed")(x)
+        x = x.reshape(B, gh * gw, self.dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), x], axis=1)
+
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, self.num_positions, self.dim))
+        x = x + _interpolate_pos_embed(pos, gh, gw)
+
+        feats = []
+        for i in range(self.depth):
+            x = ViTBlock(self.dim, self.num_heads, dtype=self.dtype,
+                         name=f"block_{i}")(x)
+            feats.append(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        feats.append(x)
+        return feats
+
+
+def _interpolate_pos_embed(pos: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """Bicubic-resize the (1, N+1, D) position table to a gh×gw grid."""
+    n_patches = pos.shape[1] - 1
+    side = int(round(n_patches**0.5))
+    cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+    if side * side != n_patches or (side == gh and side == gw):
+        if n_patches == gh * gw:
+            return pos
+    grid = grid_pos.reshape(1, side, side, -1)
+    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), method="cubic")
+    return jnp.concatenate([cls_pos, grid.reshape(1, gh * gw, -1)], axis=1)
+
+
+class DinoPerceptualLoss:
+    """Frozen DINO feature-matching loss (smooth-L1, summed over features).
+
+    Usage:
+        loss_fn = DinoPerceptualLoss(rng)           # random features
+        loss_fn = DinoPerceptualLoss(rng, weights_path="dino.npz")
+        value = loss_fn(pred, target)               # images in [-1, 1]
+    """
+
+    # DINOv2 normalization (ImageNet statistics) applied after mapping to [0,1].
+    MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def __init__(
+        self,
+        rng: jax.Array | None = None,
+        weights_path: Optional[str] = None,
+        layers: Optional[Sequence[int]] = None,
+        dtype: jnp.dtype = jnp.float32,
+        image_size: int = 256,
+    ):
+        self.model = ViTSmall(dtype=dtype)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        size = (image_size // 14) * 14
+        dummy = jnp.zeros((1, size, size, 3))
+        self.params = jax.eval_shape(self.model.init, rng, dummy)
+        self.params = self.model.init(rng, dummy)
+        self.pretrained = False
+        weights_path = weights_path or os.environ.get("HDT_DINO_WEIGHTS")
+        if weights_path and os.path.exists(weights_path):
+            self.params = _load_npz_params(weights_path, self.params)
+            self.pretrained = True
+        self.layers = list(layers) if layers is not None else None
+
+    def features(self, images: jnp.ndarray) -> list[jnp.ndarray]:
+        """images in [-1, 1], NHWC."""
+        x = (images + 1.0) / 2.0
+        x = (x - self.MEAN) / self.STD
+        x = center_crop_to_multiple(x, 14)
+        feats = self.model.apply(self.params, x)
+        if self.layers is not None:
+            feats = [feats[i] for i in self.layers]
+        return feats
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        fp = self.features(pred)
+        ft = self.features(jax.lax.stop_gradient(target))
+        loss = 0.0
+        for a, b in zip(fp, ft):
+            b = jax.lax.stop_gradient(b)
+            d = a - b
+            # smooth-L1 (huber, beta=1), mean per feature, summed across
+            # features (reference Loss/loss.py:148-154).
+            loss = loss + jnp.mean(
+                jnp.where(jnp.abs(d) < 1.0, 0.5 * d * d, jnp.abs(d) - 0.5)
+            )
+        return loss
+
+
+class _VGG16Features(nn.Module):
+    """VGG-16 conv stack up to conv4_3, emitting the reference's tap points."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
+        # torchvision feature indices of the reference taps {3, 8, 15, 22}
+        # correspond to post-ReLU conv1_2, conv2_2, conv3_3, conv4_3.
+        taps = {1, 3, 6, 9}  # conv counter values at those ReLUs
+        feats = []
+        conv_i = 0
+        for v in cfg:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(v, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"conv_{conv_i}")(x)
+                x = nn.relu(x)
+                conv_i += 1
+                if conv_i in taps:
+                    feats.append(x)
+        return feats
+
+
+class VGGPerceptualLoss:
+    """Frozen VGG-16 feature-matching loss (L1, summed over 4 tap layers)."""
+
+    def __init__(
+        self,
+        rng: jax.Array | None = None,
+        weights_path: Optional[str] = None,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.model = _VGG16Features(dtype=dtype)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.params = self.model.init(rng, jnp.zeros((1, 64, 64, 3)))
+        self.pretrained = False
+        weights_path = weights_path or os.environ.get("HDT_VGG_WEIGHTS")
+        if weights_path and os.path.exists(weights_path):
+            self.params = _load_npz_params(weights_path, self.params)
+            self.pretrained = True
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        fp = self.model.apply(self.params, (pred + 1.0) / 2.0)
+        ft = self.model.apply(self.params, (target + 1.0) / 2.0)
+        loss = 0.0
+        for a, b in zip(fp, ft):
+            loss = loss + jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+        return loss
+
+
+def _load_npz_params(path: str, template):
+    """Load a flat {'/'.join(path): array} npz into a flax param tree."""
+    flat = dict(np.load(path))
+    out = jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: jnp.asarray(
+            flat.get("/".join(str(k.key) for k in kp), leaf)
+        ),
+        template,
+    )
+    return out

@@ -1,0 +1,145 @@
+"""U-Net building blocks in NHWC.
+
+Reference parity targets (diffusion/Model.py):
+  - ResBlock (:267-312): GN(32)→Swish→Conv3 | +temb | [+cemb] |
+    GN→Swish→Dropout→Conv3 | +shortcut | optional spatial MHA that
+    *replaces* h (not residual — the reference feeds h through
+    nn.MultiheadAttention and keeps only the output).
+  - DownSample (:170-178): parallel 3×3 and 5×5 stride-2 convs, summed.
+  - UpSample (:181-191): ConvTranspose 5×5 stride-2 (exact 2× upsample)
+    followed by a 3×3 conv.
+
+TPU-first choices: NHWC layout (XLA:TPU's native conv layout), fused
+scaled-dot-product attention over the flattened spatial axis with an
+optional Pallas kernel for the 32×32-token bottleneck, bf16 compute with
+fp32 GroupNorm statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import fused_spatial_attention
+
+
+class SpatialSelfAttention(nn.Module):
+    """Multi-head self-attention over flattened H·W tokens.
+
+    Semantics match torch.nn.MultiheadAttention(embed_dim=C, num_heads=8)
+    as the reference uses it (Model.py:306-311): joint qkv projection,
+    scaled dot-product per head, output projection.
+    """
+
+    channels: int
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        assert C % self.num_heads == 0
+        head_dim = C // self.num_heads
+        tokens = x.reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="in_proj")(tokens)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(B, H * W, self.num_heads, head_dim)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        out = fused_spatial_attention(q, k, v, use_pallas=self.use_pallas)
+        out = out.reshape(B, H * W, C)
+        out = nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+        return out.reshape(B, H, W, C)
+
+
+class ResBlock(nn.Module):
+    """Residual block with FiLM-style time/condition embedding adds."""
+
+    out_ch: int
+    tdim: int
+    dropout: float = 0.0
+    attn: bool = False
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+    use_pallas_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: jnp.ndarray,
+        cemb: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv1")(h)
+
+        t = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
+            nn.silu(temb.astype(self.dtype))
+        )
+        h = h + t[:, None, None, :]
+        if cemb is not None:
+            c = nn.Dense(self.out_ch, dtype=self.dtype, name="cemb_proj")(
+                nn.silu(cemb.astype(self.dtype))
+            )
+            h = h + c[:, None, None, :]
+
+        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv2")(h)
+
+        if in_ch != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="shortcut")(x)
+        h = h + x
+
+        if self.attn:
+            # The reference replaces h with the attention output
+            # (Model.py:306-311) — no residual around the attention.
+            h = SpatialSelfAttention(
+                channels=self.out_ch,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                name="attn",
+            )(h)
+        return h
+
+
+class DownSample(nn.Module):
+    """Sum of parallel 3×3 and 5×5 stride-2 convolutions."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ch = x.shape[-1]
+        a = nn.Conv(ch, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
+                    name="c1")(x)
+        b = nn.Conv(ch, (5, 5), strides=2, padding="SAME", dtype=self.dtype,
+                    name="c2")(x)
+        return a + b
+
+
+class UpSample(nn.Module):
+    """ConvTranspose 5×5 stride-2 (exact 2×) followed by a 3×3 conv."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ch = x.shape[-1]
+        x = nn.ConvTranspose(ch, (5, 5), strides=(2, 2), padding="SAME",
+                             dtype=self.dtype, name="t")(x)
+        x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="c")(x)
+        return x

@@ -1,0 +1,94 @@
+"""Fused spatial self-attention for the U-Net bottleneck.
+
+The reference runs torch.nn.MultiheadAttention over 32×32 = 1024 spatial
+tokens at 256 channels / 8 heads (diffusion/Model.py:306-311) — the only
+attention in the hot path. Here:
+
+  - `_xla_attention`: einsum-based scaled dot-product attention; XLA:TPU
+    fuses the softmax chain and maps the two batched matmuls to the MXU.
+  - `_pallas_attention`: a Pallas kernel that keeps Q/K/V and the score
+    matrix resident in VMEM for one (batch, head) slice per program —
+    zero HBM round-trips for the intermediate N×N scores.
+
+Both produce identical results (tested); `use_pallas` selects at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INTERPRET_CACHE: bool | None = None
+
+
+def _pallas_interpret_mode() -> bool:
+    """Use Pallas interpret mode off-TPU so tests on CPU exercise the kernel."""
+    global _INTERPRET_CACHE
+    if _INTERPRET_CACHE is None:
+        _INTERPRET_CACHE = jax.default_backend() not in ("tpu", "axon")
+    return _INTERPRET_CACHE
+
+
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """q, k, v: (B, N, h, d) → (B, N, h, d). Softmax in fp32."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (batch·head) slice: full N×N attention with VMEM-resident scores."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    d = q.shape[-1]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / (d ** 0.5))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_attention(q, k, v, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, h, d = q.shape
+    # Layout (B·h, N, d): one grid step per batch-head.
+    def to_bh(t):
+        return t.transpose(0, 2, 1, 3).reshape(B * h, N, d)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    spec = pl.BlockSpec((1, N, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _attention_kernel,
+        out_shape=jax.ShapeDtypeStruct((B * h, N, d), q.dtype),
+        grid=(B * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(qb, kb, vb)
+    return out.reshape(B, h, N, d).transpose(0, 2, 1, 3)
+
+
+def fused_spatial_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Scaled-dot-product attention over (B, N, heads, head_dim) tensors."""
+    if use_pallas:
+        return _pallas_attention(q, k, v, interpret=_pallas_interpret_mode())
+    return _xla_attention(q, k, v)

@@ -1,0 +1,9 @@
+from .mesh import make_mesh, local_device_count
+from .sharding import (
+    batch_sharding,
+    param_shardings,
+    shard_batch,
+    shard_state,
+    shard_params,
+    make_sharded_train_step,
+)

@@ -1,0 +1,56 @@
+"""XLA vs Pallas attention equivalence and reference-semantics checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_diffusion_tpu.ops.attention import (
+    _pallas_attention,
+    _xla_attention,
+    fused_spatial_attention,
+)
+from hybrid_diffusion_tpu.ops.resize import nearest_resize
+
+
+def _rand_qkv(key, B=2, N=64, h=4, d=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (B, N, h, d), dtype) for k in ks)
+
+
+def test_xla_attention_matches_numpy():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), B=1, N=8, h=2, d=4)
+    out = _xla_attention(q, k, v)
+    qn, kn, vn = map(np.asarray, (q, k, v))
+    expected = np.zeros_like(qn)
+    for h_ in range(2):
+        s = qn[0, :, h_] @ kn[0, :, h_].T / np.sqrt(4)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        expected[0, :, h_] = p @ vn[0, :, h_]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_pallas_matches_xla():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), B=2, N=128, h=4, d=32)
+    a = _xla_attention(q, k, v)
+    b = _pallas_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_dispatcher():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), B=1, N=32, h=2, d=8)
+    a = fused_spatial_attention(q, k, v, use_pallas=False)
+    b = fused_spatial_attention(q, k, v, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_nearest_resize_integer_upscale_matches_jax_image():
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 3))
+    a = nearest_resize(x, 8, 8)
+    b = jax.image.resize(x, (1, 8, 8, 3), method="nearest")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_nearest_resize_identity():
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 3))
+    assert nearest_resize(x, 4, 4) is x

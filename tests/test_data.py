@@ -1,0 +1,128 @@
+"""Data pipeline tests: registry globs, splits, synthetic fixture, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hybrid_diffusion_tpu.data import (
+    ATMOSPHERIC_DATASETS,
+    DATASET_REGISTRY,
+    UNDERWATER_DATASETS,
+    BatchLoader,
+    PairedImageDataset,
+    SyntheticPairedDataset,
+    dataset_splits,
+    make_dataset,
+    split_data,
+    shard_for_host,
+)
+from hybrid_diffusion_tpu.data.pipeline import interleave
+
+
+def test_split_data_ratios_and_order():
+    paths = [f"img_{i}.png" for i in range(100)]
+    train, test, val = split_data(paths)
+    assert len(train) == 70 and len(val) == 10 and len(test) == 20
+    # Reference return order is (train, test, val) — utils.py:77.
+    assert train[0] == "img_0.png" and val[0] == "img_70.png"
+    assert test[0] == "img_80.png"
+
+
+def test_split_data_bad_ratios():
+    with pytest.raises(ValueError):
+        split_data(["a"], 0.5, 0.1, 0.1)
+
+
+def test_registry_covers_all_seven_corpora():
+    for name in UNDERWATER_DATASETS + ATMOSPHERIC_DATASETS:
+        assert name in DATASET_REGISTRY
+
+
+def test_dataset_splits_on_fake_layout(tmp_path):
+    """Build a miniature HICRD-style tree and check pairing."""
+    import cv2
+
+    root = tmp_path / "HICRD"
+    for sub in ("Train/trainA_paired", "Train/trainB_paired",
+                "Test/testA", "Test/testB", "Val/valA", "Val/valB"):
+        (root / sub).mkdir(parents=True)
+    img = np.zeros((8, 8, 3), np.uint8)
+    for i in range(3):
+        for sub in ("Train/trainA_paired", "Train/trainB_paired"):
+            cv2.imwrite(str(root / sub / f"{i}.png"), img)
+    cv2.imwrite(str(root / "Test/testA/0.png"), img)
+    cv2.imwrite(str(root / "Test/testB/0.png"), img)
+
+    splits = dataset_splits("HICRD", str(tmp_path))
+    assert len(splits["train"][0]) == 3 and len(splits["train"][1]) == 3
+    assert len(splits["test"][0]) == 1
+    assert len(splits["val"][0]) == 0
+
+    ds = PairedImageDataset("HICRD", "train", str(tmp_path), image_size=16)
+    item = ds[0]
+    assert item["input"].shape == (16, 16, 3)
+    assert item["input"].dtype == np.uint8
+
+
+def test_unknown_dataset_raises():
+    with pytest.raises(ValueError, match="Unknown dataset"):
+        dataset_splits("NOPE", "/tmp")
+
+
+def test_synthetic_dataset_deterministic_and_domained():
+    ds = SyntheticPairedDataset(length=4, image_size=32, domain="underwater")
+    a, b = ds[0], ds[0]
+    np.testing.assert_array_equal(a["input"], b["input"])
+    # Underwater degradation: blue mean exceeds red mean.
+    assert a["input"][..., 2].mean() > a["input"][..., 0].mean()
+    # Degraded differs from clean.
+    assert not np.array_equal(a["input"], a["gt"])
+
+    atm = SyntheticPairedDataset(length=2, image_size=32, domain="atmospheric")
+    item = atm[0]
+    # Low-light degradation: darker than GT.
+    assert item["input"].mean() < item["gt"].mean()
+
+
+def test_make_dataset_factory():
+    ds = make_dataset("synthetic-atmospheric", image_size=32, synthetic_length=5)
+    assert len(ds) == 5
+    with pytest.raises(ValueError):
+        make_dataset("BOGUS")
+
+
+def test_batch_loader_shapes_and_epochs():
+    ds = SyntheticPairedDataset(length=10, image_size=32)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["input"].shape == (4, 32, 32, 3)
+    assert batches[0]["input"].dtype == np.uint8
+    assert len(batches[0]["name"]) == 4
+
+    # set_epoch reshuffles deterministically.
+    loader.set_epoch(0)
+    names0 = [n for b in loader for n in b["name"]]
+    loader.set_epoch(0)
+    assert names0 == [n for b in loader for n in b["name"]]
+    loader.set_epoch(1)
+    assert names0 != [n for b in loader for n in b["name"]]
+
+
+def test_shard_for_host():
+    idx = np.arange(100)
+    s0 = shard_for_host(idx, 0, 4)
+    s3 = shard_for_host(idx, 3, 4)
+    assert len(s0) == len(s3) == 25
+    assert s0[0] == 0 and s3[0] == 75
+
+
+def test_interleave_round_robin():
+    u = BatchLoader(SyntheticPairedDataset(8, 16, "underwater"), 4,
+                    shuffle=False)
+    a = BatchLoader(SyntheticPairedDataset(4, 16, "atmospheric"), 4,
+                    shuffle=False)
+    kinds = ["u" if "underwater" in b["name"][0] else "a"
+             for b in interleave(u, a)]
+    assert kinds == ["u", "a", "u"]

@@ -1,0 +1,145 @@
+"""Loss-library tests: analytic properties and golden values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_diffusion_tpu.losses import (
+    CompositeLossConfig,
+    DinoPerceptualLoss,
+    VGGPerceptualLoss,
+    angular_color_loss,
+    charbonnier_loss,
+    composite_enhancement_loss,
+    ms_ssim,
+    ms_ssim_loss,
+    ssim,
+)
+from hybrid_diffusion_tpu.losses.perceptual import center_crop_to_multiple
+
+
+def _img(key, shape=(2, 32, 32, 3)):
+    return jax.random.uniform(jax.random.PRNGKey(key), shape)
+
+
+# --- angular color ---
+
+def test_color_identical_is_zero():
+    x = _img(0)
+    assert float(angular_color_loss(x, x)) < 1e-6
+
+
+def test_color_scale_invariant():
+    x = _img(1)
+    assert float(angular_color_loss(x, 2.5 * x)) < 1e-6
+
+
+def test_color_orthogonal_is_one():
+    a = jnp.zeros((1, 4, 4, 3)).at[..., 0].set(1.0)
+    b = jnp.zeros((1, 4, 4, 3)).at[..., 1].set(1.0)
+    assert np.isclose(float(angular_color_loss(a, b)), 1.0, atol=1e-6)
+
+
+# --- charbonnier ---
+
+def test_charbonnier_zero_and_l1_limit():
+    x = _img(2)
+    assert float(charbonnier_loss(x, x)) < 1e-7
+    # For |d| >> eps, charbonnier ≈ |d|.
+    y = x + 0.5
+    assert np.isclose(float(charbonnier_loss(x, y)), 0.5, atol=1e-3)
+
+
+# --- ssim / ms-ssim ---
+
+def test_ssim_identical_is_one():
+    x = _img(3, (1, 32, 32, 3))
+    assert np.isclose(float(ssim(x, x)), 1.0, atol=1e-5)
+
+
+def test_ssim_decreases_with_noise():
+    x = _img(4, (1, 64, 64, 3))
+    n1 = x + 0.05 * jax.random.normal(jax.random.PRNGKey(10), x.shape)
+    n2 = x + 0.3 * jax.random.normal(jax.random.PRNGKey(10), x.shape)
+    s0, s1, s2 = float(ssim(x, x)), float(ssim(x, n1)), float(ssim(x, n2))
+    assert s0 > s1 > s2
+
+
+def test_ssim_matches_independent_reference():
+    """Cross-check against a direct (non-convolutional) uniform-window SSIM
+    on a constant-shifted image, where SSIM has a closed form."""
+    x = jnp.full((1, 32, 32, 1), 0.5)
+    y = jnp.full((1, 32, 32, 1), 0.6)
+    # Constant images: sigma=0, so SSIM = (2 μx μy + c1)/(μx²+μy²+c1).
+    c1 = 0.01**2
+    expected = (2 * 0.5 * 0.6 + c1) / (0.25 + 0.36 + c1)
+    assert np.isclose(float(ssim(x, y)), expected, atol=1e-3)
+
+
+def test_ms_ssim_range_and_identity():
+    x = _img(5, (1, 176, 176, 3))
+    assert np.isclose(float(ms_ssim(x, x)), 1.0, atol=1e-4)
+    y = _img(6, (1, 176, 176, 3))
+    v = float(ms_ssim(x, y))
+    assert 0.0 <= v < 1.0
+    assert np.isclose(float(ms_ssim_loss(x, y)), 1.0 - v, atol=1e-6)
+
+
+# --- perceptual ---
+
+def test_center_crop_256_to_252():
+    x = jnp.zeros((1, 256, 256, 3))
+    out = center_crop_to_multiple(x, 14)
+    assert out.shape == (1, 252, 252, 3)
+
+
+def test_dino_loss_zero_on_identical_and_positive_otherwise():
+    loss_fn = DinoPerceptualLoss(jax.random.PRNGKey(0), image_size=56)
+    x = _img(7, (1, 56, 56, 3)) * 2 - 1
+    y = _img(8, (1, 56, 56, 3)) * 2 - 1
+    assert float(loss_fn(x, x)) < 1e-5
+    assert float(loss_fn(x, y)) > 0.0
+    assert not loss_fn.pretrained  # no weights file in this environment
+
+
+def test_vgg_loss_basic():
+    loss_fn = VGGPerceptualLoss(jax.random.PRNGKey(0))
+    x = _img(9, (1, 32, 32, 3)) * 2 - 1
+    y = _img(10, (1, 32, 32, 3)) * 2 - 1
+    assert float(loss_fn(x, x)) < 1e-6
+    assert float(loss_fn(x, y)) > 0.0
+
+
+# --- composite ---
+
+def test_composite_default_weights():
+    pred_noise = _img(11, (1, 176, 176, 3))
+    noise = _img(12, (1, 176, 176, 3))
+    x0 = _img(13, (1, 176, 176, 3)) * 2 - 1
+    gt = _img(14, (1, 176, 176, 3)) * 2 - 1
+    cfg = CompositeLossConfig()
+    loss, parts = composite_enhancement_loss(
+        pred_noise, noise, x0, gt, cfg, dino_loss_fn=lambda a, b: jnp.float32(2.0)
+    )
+    expected = (
+        parts["mse"]
+        + 0.5 * 2.0
+        + 0.0045 * parts["ms_ssim"]
+        + 1.0 * parts["color"]
+    )
+    assert np.isclose(float(loss), float(expected), rtol=1e-6)
+    assert "charbonnier" not in parts  # zero weight ⇒ not computed
+
+
+def test_composite_is_differentiable():
+    x0 = _img(15, (1, 176, 176, 3)) * 2 - 1
+    gt = _img(16, (1, 176, 176, 3)) * 2 - 1
+
+    def f(x0):
+        loss, _ = composite_enhancement_loss(
+            jnp.zeros_like(x0), jnp.zeros_like(x0), x0, gt
+        )
+        return loss
+
+    g = jax.grad(f)(x0)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -1,0 +1,139 @@
+"""Training-step tests: schedule golden values, loss decrease, domain gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_diffusion_tpu.diffusion import linear_beta_schedule
+from hybrid_diffusion_tpu.losses import CompositeLossConfig
+from hybrid_diffusion_tpu.models import DynamicUNet
+from hybrid_diffusion_tpu.train import (
+    create_train_state,
+    make_train_step,
+    normalize_uint8,
+    warmup_cosine_schedule,
+)
+
+
+def test_warmup_cosine_golden():
+    """Matches the reference scheduler semantics (Scheduler.py:13-21):
+    base=1e-4, multiplier=2, warm=10, total=100, 1 step/epoch."""
+    s = warmup_cosine_schedule(1e-4, 100, 1, multiplier=2.0, warm_epochs=10)
+    # Epoch 0: base.
+    assert np.isclose(float(s(0)), 1e-4)
+    # Epoch 5: base·(1·5/10+1) = 1.5e-4
+    assert np.isclose(float(s(5)), 1.5e-4)
+    # Epoch 10: base·2
+    assert np.isclose(float(s(10)), 2e-4)
+    # Epoch 60: cosine at progress (60-10)/100 → 2e-4·½(1+cos(π/2))
+    assert np.isclose(float(s(60)), 2e-4 * 0.5, rtol=1e-5)
+    # Monotone decrease after warmup.
+    vals = [float(s(e)) for e in range(11, 100, 7)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_warmup_steps_per_epoch():
+    s = warmup_cosine_schedule(1e-4, 100, 50, warm_epochs=10)
+    # All steps within epoch 0 share the epoch-0 LR.
+    assert float(s(0)) == float(s(49))
+    assert float(s(0)) != float(s(50))
+
+
+def test_normalize_uint8():
+    x = jnp.array([[0, 127, 255]], dtype=jnp.uint8)
+    out = normalize_uint8(x)
+    np.testing.assert_allclose(
+        np.asarray(out), [[-1.0, 127 / 255 * 2 - 1, 1.0]], atol=1e-6
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = DynamicUNet(T=20, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        dropout=0.0)
+    x6 = jnp.zeros((2, 16, 16, 6))
+    params = model.init(jax.random.PRNGKey(0), x6, jnp.array([0, 1]))
+    schedule = linear_beta_schedule(1e-4, 0.02, 20)
+    state = create_train_state(
+        params, model.apply, lr=1e-3, total_epochs=10, steps_per_epoch=5
+    )
+    return model, state, schedule
+
+
+def _batch(key=0, B=2, blue=True):
+    rng = np.random.RandomState(key)
+    img = rng.randint(0, 255, (B, 16, 16, 3), dtype=np.uint8)
+    if blue:
+        img[..., 2] = 255  # underwater-looking
+    else:
+        img[..., 0] = 255
+    return {"input": jnp.asarray(img), "gt": jnp.asarray(img)}
+
+
+def test_train_step_decreases_mse(tiny_setup):
+    _, state, schedule = tiny_setup
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
+    batch = _batch()
+    losses = []
+    rng = jax.random.PRNGKey(42)
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["mse"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_domain_gating_freezes_middle_blocks(tiny_setup):
+    """Underwater batch (blue>red) must leave odd middle blocks untouched;
+    atmospheric batch must leave even blocks untouched."""
+    _, state, schedule = tiny_setup
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, domain_routing=True, donate=False)
+
+    def middle(params, i):
+        return jax.tree_util.tree_leaves(params["params"][f"middle_{i}"])
+
+    s1, m = step(state, _batch(blue=True), jax.random.PRNGKey(1))
+    assert float(m["underwater_gate"]) == 1.0
+    for i in (1, 3):  # frozen for underwater
+        for a, b in zip(middle(state.params, i), middle(s1.params, i)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(middle(state.params, 0), middle(s1.params, 0))
+    )
+    assert changed  # active blocks did update
+
+    s2, m2 = step(state, _batch(blue=False), jax.random.PRNGKey(1))
+    assert float(m2["underwater_gate"]) == 0.0
+    for i in (0, 2):  # frozen for atmospheric
+        for a, b in zip(middle(state.params, i), middle(s2.params, i)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_no_recompile_across_domains(tiny_setup):
+    """The gate is traced — both domains share one compiled step."""
+    _, state, schedule = tiny_setup
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, donate=False)
+    step(state, _batch(blue=True), jax.random.PRNGKey(0))
+    n0 = step._cache_size()
+    step(state, _batch(blue=False), jax.random.PRNGKey(0))
+    assert step._cache_size() == n0
+
+
+def test_full_composite_step_runs(tiny_setup):
+    _, state, schedule = tiny_setup
+    step = make_train_step(schedule, CompositeLossConfig(dino_weight=0.0),
+                           donate=False)
+    batch = {
+        "input": jnp.zeros((2, 176, 176, 3), jnp.uint8),
+        "gt": jnp.zeros((2, 176, 176, 3), jnp.uint8),
+    }
+    # Needs a model init at this resolution — reuse state's params is fine
+    # because the U-Net is resolution-agnostic.
+    state2, m = step(state, batch, jax.random.PRNGKey(0))
+    for k in ("mse", "ms_ssim", "color", "total", "grad_norm"):
+        assert np.isfinite(float(m[k])), (k, m[k])
