@@ -1,0 +1,130 @@
+"""Run configuration: one dataclass + CLI overrides.
+
+Replaces the reference's argparse + hardcoded modelConfig dict merge
+(Main.py:9-68, MainCondition.py:5-29, rotinas.py:1336-1361) with a single
+typed config. The printed-final-config behavior (Main.py:75-76) is kept
+via `pprint()`.
+
+State-name semantics (documented divergence, SURVEY.md §2.9.9): the
+reference dispatches --state eval → inference() (val split) and --state
+inference → test() (test split). Here the names mean what they say:
+`eval` evaluates the val split, `test` the test split; `inference` is
+accepted as an alias for `test` for reference-CLI compatibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import pprint as _pprint
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class Config:
+    # dispatch
+    state: str = "train"                      # train | eval | test (alias: inference)
+    # data (Main.py:41-44)
+    underwater_data_name: str = "HICRD"
+    atmospheric_data_name: str = "LoLI"
+    dataset_path: str = "./data/"
+    supervised: bool = True
+    synthetic_data: bool = False              # use the synthetic paired fixture
+    synthetic_length: int = 64
+    # model (Main.py:17-22)
+    T: int = 1000
+    channel: int = 128
+    channel_mult: Sequence[int] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    dropout: float = 0.15
+    img_size: int = 256
+    # optimization (Main.py:23-28)
+    lr: float = 5e-5
+    multiplier: float = 2.0
+    beta_1: float = 1e-4
+    beta_T: float = 0.02
+    grad_clip: float = 1.0
+    weight_decay: float = 1e-4
+    batch_size: int = 16
+    # staged training (Main.py:55-57)
+    epochs_stage_1: int = 1000                # atmospheric stage
+    epochs_stage_2: int = 1000                # underwater stage
+    save_checkpoint: int = 200                # ckpt cadence in epochs
+    # sampling (Main.py:33-35)
+    ddim: bool = True
+    ddim_step: int = 100
+    unconditional_guidance_scale: float = 1.0
+    # losses (diffusion/Diffusion.py:159)
+    dino_weight: float = 0.5
+    ms_ssim_weight: float = 0.0045
+    color_weight: float = 1.0
+    charbonnier_weight: float = 0.0
+    vgg_weight: float = 0.0
+    use_conditioning: bool = False            # live cemb path + CFG dropout
+    p_uncond: float = 0.02
+    domain_routing: bool = True
+    # paths / io
+    pretrained_path: Optional[str] = None
+    output_path: str = "./results/"
+    checkpoint_dir: str = "./output/ckpt/"
+    inference_image: str = ""
+    # observability (Main.py:49-50)
+    wandb: bool = False
+    wandb_name: str = "HybridDiffusion_TPU"
+    # TPU execution
+    bf16: bool = True
+    use_pallas_attention: bool = False
+    mesh_data: Optional[int] = None           # None → all devices / model
+    mesh_model: int = 1
+    epoch: int = 2000                         # eval-time checkpoint selector
+    seed: int = 0
+    num_workers: int = 4
+    compilation_cache: str = ".jax_cache"
+
+    def pprint(self) -> None:
+        print("\nFinal configuration:")
+        _pprint.pprint(dataclasses.asdict(self))
+
+    @property
+    def loss_config(self):
+        from .losses import CompositeLossConfig
+
+        return CompositeLossConfig(
+            dino_weight=self.dino_weight,
+            ms_ssim_weight=self.ms_ssim_weight,
+            color_weight=self.color_weight,
+            charbonnier_weight=self.charbonnier_weight,
+            vgg_weight=self.vgg_weight,
+        )
+
+
+def _add_bool_flag(parser, name: str, default: bool, help_: str = ""):
+    parser.add_argument(f"--{name}", dest=name,
+                        action=argparse.BooleanOptionalAction,
+                        default=default, help=help_)
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
+    defaults = Config()
+    p = argparse.ArgumentParser(
+        description="Hybrid two-domain diffusion enhancement (TPU-native)"
+    )
+    for f in dataclasses.fields(Config):
+        name = f.name
+        default = getattr(defaults, name)
+        if isinstance(default, bool):
+            _add_bool_flag(p, name, default)
+        elif name == "channel_mult":
+            p.add_argument("--channel_mult", type=int, nargs="+",
+                           default=list(default))
+        elif f.type in ("Optional[int]",) or default is None:
+            kind = int if name in ("mesh_data",) else str
+            p.add_argument(f"--{name}", type=kind, default=default)
+        else:
+            p.add_argument(f"--{name}", type=type(default), default=default)
+    args = p.parse_args(argv)
+    cfg = Config(**{f.name: getattr(args, f.name)
+                    for f in dataclasses.fields(Config)})
+    if cfg.state == "inference":  # reference-CLI alias (Main.py:107)
+        cfg.state = "test"
+    return cfg

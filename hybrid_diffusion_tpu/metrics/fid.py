@@ -1,0 +1,228 @@
+"""Fréchet Inception Distance.
+
+Reference: metrics/metrics.py:476-542 — torchvision inception_v3 with the
+classifier head removed (fc=Identity → 2048-d pool features), inputs
+clipped to [0,1], Fréchet distance via scipy sqrtm with an ε-jitter
+fallback for non-PSD products.
+
+Here the feature extractor is an InceptionV3 rebuilt in flax/NHWC
+(BasicConv2d = conv+BN(ε=1e-3)+ReLU; InceptionA/B/C/D/E towers; global
+average pool). Pretrained weights load from an .npz when available
+(HDT_INCEPTION_WEIGHTS env or weights_path); otherwise a fixed random
+init is used — FID values are then only self-consistent, not comparable
+to Inception-weights FID (documented: this environment has no network
+egress to fetch torchvision weights).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from scipy import linalg
+
+
+class BasicConv2d(nn.Module):
+    out_ch: int
+    kernel: tuple[int, int]
+    strides: int = 1
+    padding: str | Sequence = "VALID"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_ch, self.kernel, strides=self.strides,
+                    padding=self.padding, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn")(x)
+        return nn.relu(x)
+
+
+def _pool3(x):  # 3×3 stride-2 max pool, VALID (torch MaxPool2d(3, 2))
+    return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+
+def _avg3(x):  # 3×3 stride-1 avg pool, SAME padding with count_include_pad
+    summed = nn.pool(x, 0.0, jax.lax.add, (3, 3), (1, 1), "SAME")
+    return summed / 9.0
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding="SAME", name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding="SAME", name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding="SAME", name="branch3x3dbl_3")(b3)
+        bp = BasicConv2d(self.pool_features, (1, 1),
+                         name="branch_pool")(_avg3(x))
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), strides=2, name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding="SAME", name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), strides=2, name="branch3x3dbl_3")(bd)
+        return jnp.concatenate([b3, bd, _pool3(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.c7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding="SAME", name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding="SAME", name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding="SAME", name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding="SAME", name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding="SAME", name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding="SAME", name="branch7x7dbl_5")(bd)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avg3(x))
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), strides=2, name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding="SAME", name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding="SAME", name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), strides=2, name="branch7x7x3_4")(b7)
+        return jnp.concatenate([b3, b7, _pool3(x)], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3a = BasicConv2d(384, (1, 3), padding="SAME", name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding="SAME", name="branch3x3_2b")(b3)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding="SAME", name="branch3x3dbl_2")(bd)
+        bda = BasicConv2d(384, (1, 3), padding="SAME", name="branch3x3dbl_3a")(bd)
+        bdb = BasicConv2d(384, (3, 1), padding="SAME", name="branch3x3dbl_3b")(bd)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avg3(x))
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Features(nn.Module):
+    """InceptionV3 trunk → 2048-d global-average-pool features."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding="SAME", name="Conv2d_2b_3x3")(x)
+        x = _pool3(x)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = _pool3(x)
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        return jnp.mean(x, axis=(1, 2))  # adaptive avg pool → (B, 2048)
+
+
+class FID:
+    """Fréchet Inception Distance between two image sets.
+
+    Images: NHWC float in [0, 1] (or [-1, 1] with `from_minus1_1=True`) or
+    uint8. compute_fid mirrors the reference API (metrics.py:516-542).
+    """
+
+    def __init__(self, weights_path: Optional[str] = None,
+                 image_size: int = 256):
+        self.model = InceptionV3Features()
+        rng = jax.random.PRNGKey(0)
+        self.params = self.model.init(
+            rng, jnp.zeros((1, image_size, image_size, 3))
+        )
+        self.pretrained = False
+        weights_path = weights_path or os.environ.get("HDT_INCEPTION_WEIGHTS")
+        if weights_path and os.path.exists(weights_path):
+            from ..losses.perceptual import _load_npz_params
+
+            self.params = _load_npz_params(weights_path, self.params)
+            self.pretrained = True
+        self._extract = jax.jit(
+            lambda p, x: self.model.apply(p, x)
+        )
+
+    def extract_features(self, images) -> np.ndarray:
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        x = jnp.clip(x, 0.0, 1.0)
+        return np.asarray(self._extract(self.params, x))
+
+    @staticmethod
+    def _stats(feats: np.ndarray):
+        return feats.mean(axis=0), np.cov(feats, rowvar=False)
+
+    @staticmethod
+    def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+        diff = mu1 - mu2
+        covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+        if not np.isfinite(covmean).all() or np.iscomplexobj(covmean):
+            offset = np.eye(sigma1.shape[0]) * 1e-6
+            covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+        covmean = np.real(covmean)
+        return float(np.sum(diff**2)
+                     + np.trace(sigma1 + sigma2 - 2 * covmean))
+
+    def compute_fid(self, real_images, generated_images) -> float:
+        fr = self.extract_features(real_images)
+        fg = self.extract_features(generated_images)
+        return self.frechet_distance(*self._stats(fr), *self._stats(fg))
+
+
+class StreamingFID:
+    """Accumulate feature statistics batch-by-batch, compute FID once.
+
+    Fixes the reference's per-batch FID bug (rotinas.py:914 rebinds the
+    FID object to a float after the first batch — SURVEY.md §2.9.8): the
+    correct estimator aggregates ALL features before the Fréchet distance.
+    """
+
+    def __init__(self, fid: FID):
+        self.fid = fid
+        self._real: list[np.ndarray] = []
+        self._fake: list[np.ndarray] = []
+
+    def update(self, real_images, generated_images) -> None:
+        self._real.append(self.fid.extract_features(real_images))
+        self._fake.append(self.fid.extract_features(generated_images))
+
+    def compute(self) -> float:
+        fr = np.concatenate(self._real)
+        fg = np.concatenate(self._fake)
+        return self.fid.frechet_distance(
+            *self.fid._stats(fr), *self.fid._stats(fg)
+        )

@@ -1,0 +1,85 @@
+"""Orbax checkpointing with stage-encoded names.
+
+Reference behavior (rotinas.py:555-564, 699-731): torch.save of model
+weights only, named ckpt_{epoch}_{stage}_{datasets}.pt, rank-0 only under
+DDP, with `--pretrained_path` doubling as manual transfer-learning resume
+(Main.py:46). Improvements here (SURVEY.md §5.4): the FULL train state
+(params + optimizer + step) and metadata are saved, so resume continues
+the LR schedule instead of restarting it; saves happen on process 0 only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def checkpoint_name(epoch: int, stage: str, datasets: str) -> str:
+    return f"ckpt_{epoch}_{stage}_{datasets}"
+
+
+def save_checkpoint(
+    directory: str,
+    epoch: int,
+    stage: str,
+    datasets: str,
+    state: Any,
+    metadata: Optional[dict] = None,
+) -> str:
+    """Save params+opt_state+step under a stage-encoded directory name."""
+    if jax.process_index() != 0:
+        return ""
+    path = os.path.abspath(
+        os.path.join(directory, checkpoint_name(epoch, stage, datasets))
+    )
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if metadata:
+        import json
+
+        with open(os.path.join(path, "hdt_metadata.json"), "w") as f:
+            json.dump(metadata, f)
+    return path
+
+
+def restore_params(path: str, params_template: Any) -> Any:
+    """Restore parameters only (transfer-learning / eval load).
+
+    Accepts either a full-state checkpoint directory or one holding only
+    params.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        restored = ckptr.restore(
+            path,
+            {"params": params_template, "opt_state": None, "step": None},
+        )
+        return restored["params"]
+    except Exception:
+        return ckptr.restore(path, params_template)
+
+
+def restore_state(path: str, state: Any) -> Any:
+    """Restore the full train state (resume training mid-schedule)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        path,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step},
+    )
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )

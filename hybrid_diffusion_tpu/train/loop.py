@@ -1,0 +1,288 @@
+"""Orchestration: staged two-domain training, evaluation, inference.
+
+Rebuilds utils/rotinas.py's train/test/inference drivers (rotinas.py:571,
+:839, :1086) TPU-first:
+
+  - staged training (atmospheric stage then underwater stage, fresh
+    optimizer + warmup-cosine per stage — rotinas.py:643-665);
+  - one compiled train step reused across stages and domains (the domain
+    gate is traced — no per-stage recompilation);
+  - GSPMD mesh execution (replaces the DDP/DataParallel branches,
+    rotinas.py:618-627);
+  - checkpoint cadence with stage-encoded names (rotinas.py:699-731);
+  - evaluation: batched DDIM sampling + PSNR/SSIM/UIQM/UCIQE/FID sweep and
+    a plain-text report per domain (rotinas.py:839-1084), with the
+    reference's per-batch-FID and smoothed-average defects fixed
+    (SURVEY.md §2.9.8-9: FID aggregates all features; averages are plain
+    means).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import BatchLoader, make_dataset
+from ..diffusion import ddim_sample, ddpm_sample, linear_beta_schedule
+from ..models import DynamicUNet
+from ..parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+    shard_params,
+    shard_state,
+)
+from .checkpoint import restore_params, save_checkpoint
+from .logging import MetricsLogger
+from .step import make_train_step, normalize_uint8
+from .train_state import create_train_state
+
+
+def setup_cache(config: Config) -> None:
+    if config.compilation_cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(config.compilation_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_model(config: Config) -> DynamicUNet:
+    return DynamicUNet(
+        T=config.T,
+        ch=config.channel,
+        ch_mult=tuple(config.channel_mult),
+        num_res_blocks=config.num_res_blocks,
+        dropout=config.dropout,
+        dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+        use_pallas_attention=config.use_pallas_attention,
+    )
+
+
+def init_params(config: Config, model: DynamicUNet):
+    x6 = jnp.zeros((1, config.img_size, config.img_size, 6))
+    t = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(config.seed), x6, t)
+    if config.pretrained_path:
+        params = restore_params(config.pretrained_path, params)
+        print(f"[train] restored params from {config.pretrained_path}")
+    return params
+
+def _dataset_name(config: Config, domain: str) -> str:
+    if config.synthetic_data:
+        return f"synthetic-{domain}"
+    return (config.underwater_data_name if domain == "underwater"
+            else config.atmospheric_data_name)
+
+
+def _loader(config: Config, domain: str, task: str,
+            shuffle: bool) -> BatchLoader:
+    ds = make_dataset(
+        _dataset_name(config, domain), task=task,
+        dataset_path=config.dataset_path, image_size=config.img_size,
+        supervised=config.supervised,
+        synthetic_length=config.synthetic_length,
+    )
+    return BatchLoader(ds, config.batch_size, shuffle=shuffle,
+                       seed=config.seed, num_workers=config.num_workers,
+                       shard_hosts=jax.process_count() > 1)
+
+
+def _make_dino(config: Config):
+    if config.dino_weight == 0:
+        return None
+    from ..losses import DinoPerceptualLoss
+
+    return DinoPerceptualLoss(
+        jax.random.PRNGKey(1), image_size=config.img_size,
+        dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+    )
+
+
+def train(config: Config, max_steps: Optional[int] = None) -> dict:
+    """Two-stage training driver. Returns a summary dict (for tests)."""
+    setup_cache(config)
+    mesh = make_mesh(config.mesh_data, config.mesh_model)
+    model = build_model(config)
+    params = init_params(config, model)
+    schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
+    logger = MetricsLogger(config.wandb, project=config.wandb_name,
+                           config=config.__dict__)
+    dino = _make_dino(config)
+
+    raw_step = make_train_step(
+        schedule, config.loss_config, dino_loss_fn=dino,
+        use_conditioning=config.use_conditioning, p_uncond=config.p_uncond,
+        domain_routing=config.domain_routing, jit=False,
+    )
+    step_fn = make_sharded_train_step(mesh, raw_step)
+
+    datasets_tag = f"{config.underwater_data_name}{config.atmospheric_data_name}"
+    stages = [
+        ("Atmospheric", "atmospheric", config.epochs_stage_1),
+        ("Underwater", "underwater", config.epochs_stage_2),
+    ]
+    rng = jax.random.PRNGKey(config.seed)
+    summary = {"stages": [], "steps": 0}
+
+    for stage_name, domain, stage_epochs in stages:
+        if stage_epochs <= 0:
+            continue
+        loader = _loader(config, domain, "train", shuffle=True)
+        steps_per_epoch = max(len(loader), 1)
+        # Fresh optimizer per stage (rotinas.py:660) — same params carry over.
+        state = create_train_state(
+            shard_params(mesh, params), model.apply,
+            lr=config.lr, weight_decay=config.weight_decay,
+            grad_clip=config.grad_clip, total_epochs=stage_epochs,
+            steps_per_epoch=steps_per_epoch, multiplier=config.multiplier,
+        )
+        state = shard_state(mesh, state)
+
+        last_metrics: dict = {}
+        for epoch in range(stage_epochs):
+            loader.set_epoch(epoch)
+            t_epoch = time.time()
+            for batch in loader:
+                arrays = shard_batch(mesh, {
+                    "input": jnp.asarray(batch["input"]),
+                    "gt": jnp.asarray(batch["gt"]),
+                })
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, arrays, sub)
+                summary["steps"] += 1
+                if max_steps and summary["steps"] >= max_steps:
+                    break
+            last_metrics = logger.log(metrics, step=int(state.step),
+                                      prefix=f"Train {stage_name}/")
+            sps = steps_per_epoch / max(time.time() - t_epoch, 1e-9)
+            print(f"[{stage_name}] epoch {epoch+1}/{stage_epochs} "
+                  f"loss={last_metrics.get('total', float('nan')):.4f} "
+                  f"{sps:.2f} steps/s")
+            if (epoch + 1) % config.save_checkpoint == 0:
+                path = save_checkpoint(
+                    config.checkpoint_dir, epoch + 1, stage_name,
+                    datasets_tag, state,
+                    metadata={"stage": stage_name, "epoch": epoch + 1},
+                )
+                logger.alert("checkpoint", path)
+            if max_steps and summary["steps"] >= max_steps:
+                break
+
+        params = state.params  # carry into the next stage
+        path = save_checkpoint(config.checkpoint_dir, stage_epochs,
+                               f"{stage_name}_final", datasets_tag, state,
+                               metadata={"stage": stage_name})
+        summary["stages"].append(
+            {"stage": stage_name, "last_loss": last_metrics.get("total"),
+             "checkpoint": path})
+        if max_steps and summary["steps"] >= max_steps:
+            break
+
+    logger.finish()
+    summary["params"] = params
+    return summary
+
+
+def make_sampler(config: Config, model: DynamicUNet, params):
+    """One jitted DDIM/DDPM sampler over the [-1,1] pipeline."""
+    schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
+
+    def denoise(x6, t, context_zero=True):
+        return model.apply(params, x6, t, context_zero=context_zero)
+
+    guidance = config.unconditional_guidance_scale
+
+    @jax.jit
+    def sample(cond_u8, rng):
+        cond = normalize_uint8(cond_u8)
+        if config.ddim:
+            out = ddim_sample(denoise, schedule, cond, rng,
+                              ddim_steps=config.ddim_step,
+                              guidance_scale=guidance)
+        else:
+            out = ddpm_sample(denoise, schedule, cond, rng,
+                              guidance_scale=guidance)
+        return (out + 1.0) / 2.0  # [0, 1]
+
+    return sample
+
+
+def evaluate(config: Config, split: str = "test",
+             checkpoint_path: Optional[str] = None,
+             compute_fid: bool = True,
+             save_images: bool = True) -> dict:
+    """Metric sweep over one split for both domains (rotinas test/inference).
+
+    Returns {domain: {psnr, ssim, uiqm, uciqe, uism, uicm, uiconm, fid,
+    n_images, time_cost}} and writes res.txt per domain.
+    """
+    from ..metrics import FID, StreamingFID, getUIQM, nmetrics, psnr, ssim_index
+
+    setup_cache(config)
+    model = build_model(config)
+    eval_cfg = Config(**{**config.__dict__, "dropout": 0.0})
+    model = build_model(eval_cfg)
+    params = init_params(config, model)
+    sampler = make_sampler(config, model, params)
+    fid_model = FID(image_size=config.img_size) if compute_fid else None
+
+    results = {}
+    for domain in ("underwater", "atmospheric"):
+        loader = _loader(config, domain, split, shuffle=False)
+        if len(loader) == 0:
+            continue
+        stream = StreamingFID(fid_model) if fid_model else None
+        sums = dict(psnr=0.0, ssim=0.0, uiqm=0.0, uciqe=0.0, uism=0.0,
+                    uicm=0.0, uiconm=0.0, uiqm_nd=0.0)
+        n = 0
+        t0 = time.time()
+        out_dir = os.path.join(config.output_path, "result",
+                               _dataset_name(config, domain), split)
+        if save_images:
+            os.makedirs(out_dir, exist_ok=True)
+        rng = jax.random.PRNGKey(config.seed)
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            sampled = np.asarray(sampler(jnp.asarray(batch["input"]), sub))
+            gt01 = batch["gt"].astype(np.float32) / 255.0
+            if stream is not None:
+                stream.update(gt01, sampled)
+            for i in range(sampled.shape[0]):
+                img = np.clip(sampled[i] * 255.0, 0, 255).astype(np.uint8)
+                gt = batch["gt"][i]
+                sums["psnr"] += psnr(gt, img, data_range=255)
+                sums["ssim"] += ssim_index(gt, img, data_range=255)
+                uiqm_v, uciqe_v, uism_v, uicm_v, uiconm_v = nmetrics(
+                    img.astype(np.float32) / 255.0)
+                sums["uiqm"] += uiqm_v
+                sums["uciqe"] += uciqe_v
+                sums["uism"] += uism_v
+                sums["uicm"] += uicm_v
+                sums["uiconm"] += uiconm_v
+                sums["uiqm_nd"] += getUIQM(img)
+                n += 1
+                if save_images:
+                    import cv2
+
+                    cv2.imwrite(os.path.join(out_dir, batch["name"][i]),
+                                cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        time_cost = time.time() - t0
+        res = {k: v / max(n, 1) for k, v in sums.items()}
+        res["fid"] = stream.compute() if (stream and n) else float("nan")
+        res["n_images"] = n
+        res["time_cost"] = time_cost
+        results[domain] = res
+
+        report_dir = os.path.join(config.output_path, "result",
+                                  _dataset_name(config, domain))
+        os.makedirs(report_dir, exist_ok=True)
+        with open(os.path.join(report_dir, "res.txt"), "a") as f:
+            f.write(f"split={split} n={n} " + " ".join(
+                f"{k}={v:.4f}" for k, v in res.items()
+                if isinstance(v, float)) + "\n")
+    return results

@@ -1,0 +1,198 @@
+"""Metrics-suite tests: golden values, loop-vs-vectorized parity, FID."""
+
+import math
+
+import numpy as np
+import pytest
+
+from hybrid_diffusion_tpu.metrics import (
+    FID,
+    StreamingFID,
+    eme,
+    getUIQM,
+    logamee,
+    nmetrics,
+    psnr,
+    rgb2gray,
+    rgb2lab,
+    ssim_index,
+    uciqe,
+)
+
+
+def _img(key=0, size=64):
+    rng = np.random.RandomState(key)
+    return rng.randint(0, 255, (size, size, 3), np.uint8)
+
+
+# ---------- color ----------
+
+def test_rgb2lab_known_values():
+    # White → L=100, a≈0, b≈0.
+    white = np.full((1, 1, 3), 255, np.uint8)
+    lab = rgb2lab(white)
+    assert np.isclose(lab[0, 0, 0], 100.0, atol=0.01)
+    assert abs(lab[0, 0, 1]) < 0.01 and abs(lab[0, 0, 2]) < 0.01
+    # Black → 0,0,0.
+    lab = rgb2lab(np.zeros((1, 1, 3), np.uint8))
+    np.testing.assert_allclose(lab, 0.0, atol=1e-6)
+    # Pure red (sRGB) — CIE standard values.
+    lab = rgb2lab(np.array([[[255, 0, 0]]], np.uint8))
+    assert np.isclose(lab[0, 0, 0], 53.24, atol=0.05)
+    assert np.isclose(lab[0, 0, 1], 80.09, atol=0.1)
+    assert np.isclose(lab[0, 0, 2], 67.20, atol=0.1)
+
+
+def test_rgb2gray_weights():
+    g = rgb2gray(np.array([[[255, 0, 0]]], np.uint8))
+    assert np.isclose(g[0, 0], 0.2125, atol=1e-4)
+
+
+# ---------- psnr / ssim ----------
+
+def test_psnr_known_value():
+    a = np.zeros((8, 8), np.float64)
+    b = np.full((8, 8), 16.0)
+    # mse=256 → psnr = 10·log10(255²/256) = 24.0824…
+    assert np.isclose(psnr(a, b), 10 * math.log10(255**2 / 256), atol=1e-6)
+    assert psnr(a, a) == float("inf")
+
+
+def test_ssim_identical_and_ordering():
+    x = _img(1).astype(np.float64)
+    assert np.isclose(ssim_index(x, x), 1.0, atol=1e-9)
+    n1 = np.clip(x + np.random.RandomState(0).normal(0, 10, x.shape), 0, 255)
+    n2 = np.clip(x + np.random.RandomState(0).normal(0, 60, x.shape), 0, 255)
+    assert ssim_index(x, n1) > ssim_index(x, n2)
+
+
+def test_ssim_channel_mean_equals_manual():
+    x, y = _img(2), _img(3)
+    per = np.mean([
+        ssim_index(x[..., c], y[..., c], channel_axis=None) for c in range(3)
+    ])
+    assert np.isclose(ssim_index(x, y), per, atol=1e-12)
+
+
+# ---------- block stats: vectorized vs direct loops ----------
+
+def _eme_loop(ch, blocksize=8):
+    nx = math.ceil(ch.shape[0] / blocksize)
+    ny = math.ceil(ch.shape[1] / blocksize)
+    w = 2.0 / (nx * ny)
+    total = 0.0
+    for i in range(nx):
+        for j in range(ny):
+            b = ch[i * blocksize:(i + 1) * blocksize,
+                   j * blocksize:(j + 1) * blocksize]
+            mn, mx = float(b.min()), float(b.max())
+            mn = mn if mn != 0 else 1.0
+            mx = mx if mx != 0 else 1.0
+            total += w * math.log(mx / mn)
+    return total
+
+
+def _logamee_loop(ch, blocksize=8):
+    g = 1026.0
+    nx = math.ceil(ch.shape[0] / blocksize)
+    ny = math.ceil(ch.shape[1] / blocksize)
+    s = 0.0
+    for i in range(nx):
+        for j in range(ny):
+            b = ch[i * blocksize:(i + 1) * blocksize,
+                   j * blocksize:(j + 1) * blocksize]
+            mn, mx = float(b.min()), float(b.max())
+            top = g * (mx - mn) / (g - mn)
+            bot = mx + mn - mx * mn / g
+            m = 0.0 if bot == 0 else top / bot
+            if m != 0:
+                s += m * math.log(m)
+    w = 1.0 / (nx * ny)
+    return g - g * (1 - s / g) ** w
+
+
+@pytest.mark.parametrize("size", [64, 60])  # divisible and remainder blocks
+def test_eme_matches_loop(size):
+    ch = _img(4, size)[..., 0]
+    assert np.isclose(eme(ch), _eme_loop(ch), rtol=1e-10)
+
+
+@pytest.mark.parametrize("size", [64, 60])
+def test_logamee_matches_loop(size):
+    ch = rgb2gray(_img(5, size))
+    assert np.isclose(logamee(ch), _logamee_loop(ch), rtol=1e-10)
+
+
+# ---------- uiqm family ----------
+
+def test_nmetrics_outputs_finite_and_ordered():
+    img = _img(6, 64)
+    uiqm_v, uciqe_v, uism_v, uicm_v, uiconm_v = nmetrics(img)
+    for v in (uiqm_v, uciqe_v, uism_v, uicm_v, uiconm_v):
+        assert np.isfinite(v)
+    assert np.isclose(
+        uiqm_v, 0.0282 * uicm_v + 0.2953 * uism_v + 3.5753 * uiconm_v
+    )
+
+
+def test_uciqe_flat_image_low():
+    """A flat gray image has no chroma variance / luminance contrast."""
+    flat = np.full((32, 32, 3), 128, np.uint8)
+    v = uciqe(flat)
+    rich = uciqe(_img(7, 32))
+    assert v < rich
+
+
+def test_getUIQM_finite_and_sensitive_to_sharpness():
+    img = _img(8, 64).astype(np.float32)
+    blurred = img.copy()
+    from scipy.ndimage import uniform_filter
+
+    for c in range(3):
+        blurred[..., c] = uniform_filter(img[..., c], 7)
+    assert np.isfinite(getUIQM(img))
+    assert getUIQM(img) > getUIQM(blurred)  # sharper scores higher
+
+
+def test_uicm_trimmed_mean_semantics():
+    """getUIQM's trimmed stats: gray image → colorfulness ≈ 0."""
+    gray = np.full((16, 16, 3), 99, np.float32)
+    assert abs(getUIQM(gray)) < 1.0  # uicm=0; uism=0; uiconm≈0
+
+
+# ---------- fid ----------
+
+@pytest.fixture(scope="module")
+def fid():
+    return FID(image_size=64)
+
+
+def test_fid_identical_sets_near_zero(fid):
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(8, 64, 64, 3).astype(np.float32)
+    v = fid.compute_fid(imgs, imgs.copy())
+    assert v < 1e-3, v
+
+
+def test_fid_orders_similarity(fid):
+    rng = np.random.RandomState(1)
+    base = rng.rand(8, 64, 64, 3).astype(np.float32)
+    near = np.clip(base + rng.normal(0, 0.02, base.shape), 0, 1).astype(np.float32)
+    far = rng.rand(8, 64, 64, 3).astype(np.float32) ** 3
+    assert fid.compute_fid(base, near) < fid.compute_fid(base, far)
+
+
+def test_streaming_fid_matches_batch(fid):
+    rng = np.random.RandomState(2)
+    real = rng.rand(8, 64, 64, 3).astype(np.float32)
+    fake = rng.rand(8, 64, 64, 3).astype(np.float32)
+    direct = fid.compute_fid(real, fake)
+    s = StreamingFID(fid)
+    s.update(real[:4], fake[:4])
+    s.update(real[4:], fake[4:])
+    assert np.isclose(s.compute(), direct, rtol=1e-4)
+
+
+def test_fid_feature_dim(fid):
+    f = fid.extract_features(np.zeros((2, 64, 64, 3), np.float32))
+    assert f.shape == (2, 2048)
