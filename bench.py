@@ -32,7 +32,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     size = int(os.environ.get("BENCH_SIZE", "256"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     if quick:
         batch, steps, size, reps = 4, 10, 64, 2
 
@@ -46,6 +46,11 @@ def main():
         num_res_blocks=1 if quick else 2,
         dropout=0.0,
         dtype=jnp.bfloat16,
+        # GN stats are fp32 inside flax regardless; bf16 normalize halves
+        # the HBM traffic of every norm. Pallas attention keeps the 1024-
+        # token score matrix VMEM-resident at the bottleneck.
+        norm_dtype=jnp.bfloat16,
+        use_pallas_attention=True,
     )
     x6 = jnp.zeros((batch, size, size, 6))
     t0 = time.time()
@@ -53,6 +58,12 @@ def main():
         jax.random.PRNGKey(0), x6, jnp.zeros((batch,), jnp.int32)
     )
     jax.block_until_ready(params)
+    # Weights are loop-invariant across the 100-step scan: cast to bf16
+    # once here instead of re-casting 43M params every denoise step.
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
 
     schedule = linear_beta_schedule(1e-4, 0.02, 1000)

@@ -19,10 +19,12 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import fused_spatial_attention
+from ..ops.fast_conv import conv_transpose_5x5_s2, fused_dual_downsample
 
 
 class SpatialSelfAttention(nn.Module):
@@ -66,6 +68,7 @@ class ResBlock(nn.Module):
     attn: bool = False
     num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
 
     @nn.compact
@@ -78,7 +81,7 @@ class ResBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv1")(h)
@@ -93,7 +96,7 @@ class ResBlock(nn.Module):
             )
             h = h + c[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=32, dtype=self.norm_dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
@@ -117,29 +120,62 @@ class ResBlock(nn.Module):
 
 
 class DownSample(nn.Module):
-    """Sum of parallel 3×3 and 5×5 stride-2 convolutions."""
+    """Sum of parallel 3×3 and 5×5 stride-2 convolutions.
+
+    Executed as ONE fused 5×5 conv (the 3×3 kernel embedded center-aligned —
+    exact identity, ops/fast_conv.py) so the MXU sees a single large op;
+    `fast=False` keeps the two-conv reference formulation for A/B checks.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        a = nn.Conv(ch, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
-                    name="c1")(x)
-        b = nn.Conv(ch, (5, 5), strides=2, padding="SAME", dtype=self.dtype,
-                    name="c2")(x)
-        return a + b
+        init = nn.initializers.lecun_normal()
+        k3 = self.param("k3", init, (3, 3, ch, ch))
+        b3 = self.param("b3", nn.initializers.zeros, (ch,))
+        k5 = self.param("k5", init, (5, 5, ch, ch))
+        b5 = self.param("b5", nn.initializers.zeros, (ch,))
+        if self.fast:
+            return fused_dual_downsample(x, k3, b3, k5, b5)
+        dn3 = jax.lax.conv_dimension_numbers(x.shape, k3.shape,
+                                             ("NHWC", "HWIO", "NHWC"))
+        dn5 = jax.lax.conv_dimension_numbers(x.shape, k5.shape,
+                                             ("NHWC", "HWIO", "NHWC"))
+        a = jax.lax.conv_general_dilated(
+            x, k3.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn3,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        b = jax.lax.conv_general_dilated(
+            x, k5.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn5,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return a + b + (b3 + b5).astype(x.dtype)
 
 
 class UpSample(nn.Module):
-    """ConvTranspose 5×5 stride-2 (exact 2×) followed by a 3×3 conv."""
+    """ConvTranspose 5×5 stride-2 (exact 2×) followed by a 3×3 conv.
+
+    The transposed conv runs as a 4-phase pixel-shuffle decomposition
+    (exact identity, ops/fast_conv.py) — XLA's dilated-input lowering
+    spends 75% of its MACs on inserted zeros; this spends none.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        x = nn.ConvTranspose(ch, (5, 5), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype, name="t")(x)
+        kt = self.param("kt", nn.initializers.lecun_normal(),
+                        (5, 5, ch, ch))
+        bt = self.param("bt", nn.initializers.zeros, (ch,))
+        if self.fast:
+            x = conv_transpose_5x5_s2(x, kt) + bt.astype(x.dtype)
+        else:
+            x = jax.lax.conv_transpose(
+                x, kt.astype(x.dtype), strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(x.dtype) + bt.astype(x.dtype)
         x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="c")(x)
         return x
