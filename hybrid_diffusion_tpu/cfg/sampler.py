@@ -1,0 +1,82 @@
+"""Label-conditioned ancestral DDPM sampler with classifier-free guidance.
+
+Rebuilds DiffusionFreeGuidence/DiffusionCondition.py:49-98 as one jitted
+`lax.scan` over the full T-step reverse chain:
+
+  - guidance mix: ε ← (1+w)·ε_cond − w·ε_uncond (reference :78); w=0 with
+    label 0 is unguided sampling.
+  - the conditional and unconditional branches are batched into a single
+    2B model call per step (one big MXU stream, not two small ones).
+  - sampling variance: cat([posterior_var[1:2], betas[1:]]) (reference :75),
+    the same `sampling_var` table the hybrid sampler uses.
+  - final clip to [-1, 1] (reference :97).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.process import ddpm_posterior_mean, ddpm_sampling_variance
+from ..diffusion.schedule import DiffusionSchedule
+
+# denoise_fn(x: (B,H,W,3), t: (B,) i32, labels: (B,) i32) -> eps (B,H,W,3)
+LabelDenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _guided_eps(
+    denoise_fn: LabelDenoiseFn,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+    labels: jnp.ndarray,
+    w: float,
+) -> jnp.ndarray:
+    if w == 0.0:
+        return denoise_fn(x_t, t, labels)
+    both_x = jnp.concatenate([x_t, x_t], axis=0)
+    both_t = jnp.concatenate([t, t], axis=0)
+    both_l = jnp.concatenate([labels, jnp.zeros_like(labels)], axis=0)
+    eps_both = denoise_fn(both_x, both_t, both_l)
+    eps_c, eps_u = jnp.split(eps_both, 2, axis=0)
+    return (1.0 + w) * eps_c - w * eps_u
+
+
+def cfg_ddpm_sample(
+    denoise_fn: LabelDenoiseFn,
+    schedule: DiffusionSchedule,
+    labels: jnp.ndarray,
+    rng: jax.Array,
+    image_size: int = 32,
+    w: float = 1.8,
+    init_noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sample one image per label. labels: (B,) int32, 0 = unconditional.
+
+    Returns (B, image_size, image_size, 3) in [-1, 1].
+    """
+    T = schedule.num_steps
+    B = labels.shape[0]
+    shape = (B, image_size, image_size, 3)
+    rng, noise_rng = jax.random.split(rng)
+    x_t = (
+        init_noise
+        if init_noise is not None
+        else jax.random.normal(noise_rng, shape, jnp.float32)
+    )
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    step_rngs = jax.random.split(rng, T)
+
+    def step(x_t, inputs):
+        t_scalar, step_rng = inputs
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        eps = _guided_eps(denoise_fn, x_t, t, labels, w)
+        mean = ddpm_posterior_mean(schedule, x_t, t, eps)
+        var = ddpm_sampling_variance(schedule, t, x_t.ndim)
+        z = jax.random.normal(step_rng, x_t.shape, jnp.float32)
+        z = jnp.where(t_scalar > 0, z, jnp.zeros_like(z))
+        return mean + jnp.sqrt(var) * z, None
+
+    x_0, _ = jax.lax.scan(step, x_t, (ts, step_rngs))
+    return jnp.clip(x_0, -1.0, 1.0)

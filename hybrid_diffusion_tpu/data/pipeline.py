@@ -86,11 +86,14 @@ class BatchLoader:
 
     def _assemble(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> dict:
         items = list(pool.map(self.dataset.__getitem__, batch_idx))
-        return {
-            "input": np.stack([it["input"] for it in items]),
-            "gt": np.stack([it["gt"] for it in items]),
-            "name": [it["name"] for it in items],
-        }
+        out: dict = {}
+        for key, v0 in items[0].items():
+            vals = [it[key] for it in items]
+            if isinstance(v0, (np.ndarray, int, float, np.integer, np.floating)):
+                out[key] = np.stack([np.asarray(v) for v in vals])
+            else:
+                out[key] = vals  # e.g. filename strings
+        return out
 
     def __iter__(self) -> Iterator[dict]:
         idx = self._indices()

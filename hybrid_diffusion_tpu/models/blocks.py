@@ -145,11 +145,9 @@ class DownSample(nn.Module):
         dn5 = jax.lax.conv_dimension_numbers(x.shape, k5.shape,
                                              ("NHWC", "HWIO", "NHWC"))
         a = jax.lax.conv_general_dilated(
-            x, k3.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn3,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            x, k3.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn3)
         b = jax.lax.conv_general_dilated(
-            x, k5.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn5,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            x, k5.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn5)
         return a + b + (b3 + b5).astype(x.dtype)
 
 

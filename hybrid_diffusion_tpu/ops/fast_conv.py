@@ -51,9 +51,7 @@ def conv_transpose_5x5_s2(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
             x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(
             x, k.astype(dtype), window_strides=(1, 1),
-            padding=(pad_y, pad_x), dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+            padding=(pad_y, pad_x), dimension_numbers=dn)
 
     p00, p01 = sub(0, 0), sub(0, 1)
     p10, p11 = sub(1, 0), sub(1, 1)
@@ -83,6 +81,5 @@ def fused_dual_downsample(
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(2, 2), padding=((1, 2), (1, 2)),
-        dimension_numbers=dn, preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        dimension_numbers=dn)
     return y + (b3 + b5).astype(x.dtype)
