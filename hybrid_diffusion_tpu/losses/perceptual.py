@@ -43,6 +43,14 @@ def center_crop_to_multiple(x: jnp.ndarray, multiple: int = 14) -> jnp.ndarray:
 
 
 class ViTBlock(nn.Module):
+    """Pre-norm transformer block with LayerScale (DINOv2 ls1/ls2.gamma).
+
+    gamma params init to 1 (identity) for the random-feature mode; the
+    converter (scripts/convert_torch_weights.py) overwrites them with the
+    pretrained LayerScale values. GELU is exact (not tanh-approximate) to
+    match torch.nn.GELU.
+    """
+
     dim: int
     num_heads: int
     mlp_ratio: int = 4
@@ -50,16 +58,18 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g1 = self.param("gamma_1", nn.initializers.ones, (self.dim,))
+        g2 = self.param("gamma_2", nn.initializers.ones, (self.dim,))
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn"
         )(h, h)
-        x = x + h
+        x = x + g1.astype(h.dtype) * h
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
-        return x + h
+        return x + g2.astype(h.dtype) * h
 
 
 class ViTSmall(nn.Module):
@@ -226,13 +236,32 @@ class VGGPerceptualLoss:
         return loss
 
 
-def _load_npz_params(path: str, template):
-    """Load a flat {'/'.join(path): array} npz into a flax param tree."""
+def _load_npz_params(path: str, template, strict: bool = True):
+    """Load a flat {'/'.join(path): array} npz into a flax param tree.
+
+    strict: raise if the npz holds keys that match no template leaf or if
+    a matched array's shape differs — silent partial loads produce random
+    features that LOOK pretrained.
+    """
     flat = dict(np.load(path))
-    out = jax.tree_util.tree_map_with_path(
-        lambda kp, leaf: jnp.asarray(
-            flat.get("/".join(str(k.key) for k in kp), leaf)
-        ),
-        template,
-    )
+    used = set()
+
+    def pick(kp, leaf):
+        key = "/".join(str(k.key) for k in kp)
+        if key in flat:
+            used.add(key)
+            arr = flat[key]
+            if strict and tuple(arr.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"{path}: shape mismatch at {key}: "
+                    f"npz {arr.shape} vs model {tuple(leaf.shape)}")
+            return jnp.asarray(arr)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(pick, template)
+    unused = set(flat) - used
+    if strict and unused:
+        raise ValueError(
+            f"{path}: {len(unused)} arrays match no model parameter, e.g. "
+            f"{sorted(unused)[:5]}")
     return out

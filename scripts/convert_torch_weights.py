@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Convert torch state_dicts to the .npz layout the JAX extractors load.
+
+This environment has no network egress, so pretrained weights cannot be
+fetched here — but a user with the reference's checkpoints (DINOv2
+ViT-S/14 from torch.hub as used by Loss/loss.py:29-60, torchvision VGG16
+as loss.py:193-204, torchvision inception_v3 as metrics/metrics.py:477)
+runs this once and points HDT_DINO_WEIGHTS / HDT_VGG_WEIGHTS /
+HDT_INCEPTION_WEIGHTS at the output.
+
+Key layout: flat {"/".join(flax_path): array}, e.g.
+    params/block_0/attn/query/kernel
+consumed by hybrid_diffusion_tpu.losses.perceptual._load_npz_params.
+
+Usage:
+    python scripts/convert_torch_weights.py --model dino \
+        --input dinov2_vits14.pth --output dino_vits14.npz
+    python scripts/convert_torch_weights.py --model vgg16 ...
+    python scripts/convert_torch_weights.py --model inception ...
+
+The converters are pure-numpy on tensors (torch only to unpickle), so they
+also accept a plain {name: np.ndarray} dict — which is how the round-trip
+tests exercise them without real checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+# ---------------------------------------------------------------- DINOv2
+
+def convert_dino_vits14(sd: dict, depth: int = 12, dim: int = 384,
+                        num_heads: int = 6) -> dict:
+    """facebookresearch/dinov2 ViT-S/14 state_dict → ViTSmall npz dict."""
+    hd = dim // num_heads
+    out = {}
+    p = "params/"
+
+    out[p + "cls_token"] = _np(sd["cls_token"]).reshape(1, 1, dim)
+    out[p + "pos_embed"] = _np(sd["pos_embed"])
+    # patch embed: torch (D, 3, 14, 14) OIHW → flax HWIO
+    out[p + "patch_embed/kernel"] = _np(
+        sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)
+    out[p + "patch_embed/bias"] = _np(sd["patch_embed.proj.bias"])
+
+    for i in range(depth):
+        t = f"blocks.{i}."
+        f = f"{p}block_{i}/"
+        out[f + "norm1/scale"] = _np(sd[t + "norm1.weight"])
+        out[f + "norm1/bias"] = _np(sd[t + "norm1.bias"])
+        out[f + "norm2/scale"] = _np(sd[t + "norm2.weight"])
+        out[f + "norm2/bias"] = _np(sd[t + "norm2.bias"])
+        out[f + "gamma_1"] = _np(sd[t + "ls1.gamma"])
+        out[f + "gamma_2"] = _np(sd[t + "ls2.gamma"])
+
+        qkv_w = _np(sd[t + "attn.qkv.weight"])       # (3D, D)
+        qkv_b = _np(sd[t + "attn.qkv.bias"])          # (3D,)
+        for j, name in enumerate(("query", "key", "value")):
+            w = qkv_w[j * dim:(j + 1) * dim]          # (D_out, D_in)
+            # flax MHDPA kernel: (D_in, heads, head_dim)
+            out[f + f"attn/{name}/kernel"] = (
+                w.T.reshape(dim, num_heads, hd))
+            out[f + f"attn/{name}/bias"] = (
+                qkv_b[j * dim:(j + 1) * dim].reshape(num_heads, hd))
+        proj_w = _np(sd[t + "attn.proj.weight"])      # (D, D): out = W @ x
+        # flax out kernel: (heads, head_dim, D) with out = x · K
+        out[f + "attn/out/kernel"] = proj_w.T.reshape(num_heads, hd, dim)
+        out[f + "attn/out/bias"] = _np(sd[t + "attn.proj.bias"])
+
+        out[f + "fc1/kernel"] = _np(sd[t + "mlp.fc1.weight"]).T
+        out[f + "fc1/bias"] = _np(sd[t + "mlp.fc1.bias"])
+        out[f + "fc2/kernel"] = _np(sd[t + "mlp.fc2.weight"]).T
+        out[f + "fc2/bias"] = _np(sd[t + "mlp.fc2.bias"])
+
+    out[p + "norm/scale"] = _np(sd["norm.weight"])
+    out[p + "norm/bias"] = _np(sd["norm.bias"])
+    return out
+
+
+# ----------------------------------------------------------------- VGG16
+
+# torchvision vgg16.features conv indices, in order (through conv4_3 —
+# the deepest tap the reference uses, Loss/loss.py:193-204).
+_VGG16_CONV_IDS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+
+
+def convert_vgg16(sd: dict) -> dict:
+    """torchvision vgg16 state_dict → _VGG16Features npz dict."""
+    out = {}
+    for our_i, torch_i in enumerate(_VGG16_CONV_IDS):
+        w = _np(sd[f"features.{torch_i}.weight"])     # OIHW
+        b = _np(sd[f"features.{torch_i}.bias"])
+        out[f"params/conv_{our_i}/kernel"] = w.transpose(2, 3, 1, 0)
+        out[f"params/conv_{our_i}/bias"] = b
+    return out
+
+
+# ------------------------------------------------------------ InceptionV3
+
+def convert_inception_v3(sd: dict) -> dict:
+    """torchvision inception_v3 state_dict → InceptionV3Features npz dict.
+
+    torchvision module names match the flax module names 1:1
+    (Mixed_5b.branch1x1.conv.weight → params/Mixed_5b/branch1x1/conv/kernel);
+    BatchNorm running stats land in the batch_stats collection.
+    """
+    out = {}
+    for key, val in sd.items():
+        if key.startswith(("fc.", "AuxLogits.")):
+            continue  # classifier head removed (metrics.py:481 fc=Identity)
+        v = _np(val)
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = "/".join(parts[:-1])
+        if leaf == "weight" and path.endswith("conv"):
+            out[f"params/{path}/kernel"] = v.transpose(2, 3, 1, 0)
+        elif leaf == "weight" and path.endswith("bn"):
+            out[f"params/{path}/scale"] = v
+        elif leaf == "bias" and path.endswith("bn"):
+            out[f"params/{path}/bias"] = v
+        elif leaf == "running_mean":
+            out[f"batch_stats/{path}/mean"] = v
+        elif leaf == "running_var":
+            out[f"batch_stats/{path}/var"] = v
+        # num_batches_tracked → dropped
+    return out
+
+
+CONVERTERS = {
+    "dino": convert_dino_vits14,
+    "vgg16": convert_vgg16,
+    "inception": convert_inception_v3,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", choices=sorted(CONVERTERS), required=True)
+    ap.add_argument("--input", required=True, help=".pth/.pt state_dict")
+    ap.add_argument("--output", required=True, help="output .npz path")
+    args = ap.parse_args()
+
+    import torch
+
+    sd = torch.load(args.input, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    flat = CONVERTERS[args.model](sd)
+    np.savez(args.output, **flat)
+    print(f"wrote {len(flat)} arrays → {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

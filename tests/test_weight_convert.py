@@ -1,0 +1,185 @@
+"""Round-trip tests for scripts/convert_torch_weights.py.
+
+No pretrained checkpoints exist in this environment (no egress), so the
+tests build synthetic state_dicts in the torch NAME/LAYOUT conventions,
+convert, and verify:
+  - every converted array lands on a real template leaf with the right
+    shape (strict loader — no silent partial loads);
+  - the attention-weight reshape reproduces torch semantics: flax MHDPA
+    with converted q/k/v/out equals a manual numpy multi-head attention
+    computed with the original torch-layout matrices.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "scripts")
+from convert_torch_weights import (  # noqa: E402
+    _VGG16_CONV_IDS,
+    convert_dino_vits14,
+    convert_inception_v3,
+    convert_vgg16,
+)
+
+from hybrid_diffusion_tpu.losses.perceptual import (  # noqa: E402
+    DinoPerceptualLoss,
+    VGGPerceptualLoss,
+    ViTSmall,
+    _load_npz_params,
+)
+from hybrid_diffusion_tpu.metrics.fid import FID  # noqa: E402
+
+
+def fake_dino_sd(depth=12, dim=384, hidden=1536):
+    rng = np.random.RandomState(0)
+    r = lambda *s: rng.randn(*s).astype(np.float32) * 0.02
+    sd = {
+        "cls_token": r(1, 1, dim),
+        "pos_embed": r(1, 1370, dim),
+        "patch_embed.proj.weight": r(dim, 3, 14, 14),
+        "patch_embed.proj.bias": r(dim),
+        "norm.weight": r(dim),
+        "norm.bias": r(dim),
+    }
+    for i in range(depth):
+        t = f"blocks.{i}."
+        sd.update({
+            t + "norm1.weight": r(dim), t + "norm1.bias": r(dim),
+            t + "norm2.weight": r(dim), t + "norm2.bias": r(dim),
+            t + "ls1.gamma": r(dim), t + "ls2.gamma": r(dim),
+            t + "attn.qkv.weight": r(3 * dim, dim),
+            t + "attn.qkv.bias": r(3 * dim),
+            t + "attn.proj.weight": r(dim, dim),
+            t + "attn.proj.bias": r(dim),
+            t + "mlp.fc1.weight": r(hidden, dim),
+            t + "mlp.fc1.bias": r(hidden),
+            t + "mlp.fc2.weight": r(dim, hidden),
+            t + "mlp.fc2.bias": r(dim),
+        })
+    return sd
+
+
+def test_dino_conversion_loads_strict(tmp_path):
+    flat = convert_dino_vits14(fake_dino_sd())
+    path = str(tmp_path / "dino.npz")
+    np.savez(path, **flat)
+    loss = DinoPerceptualLoss(jax.random.PRNGKey(0), weights_path=path,
+                              image_size=56)
+    assert loss.pretrained
+    # loaded weights actually change the features vs random init
+    rand = DinoPerceptualLoss(jax.random.PRNGKey(0), image_size=56)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 56, 56, 3), jnp.float32)
+    f_loaded = loss.features(x)[-1]
+    f_rand = rand.features(x)[-1]
+    assert not np.allclose(np.asarray(f_loaded), np.asarray(f_rand))
+
+
+def test_dino_attention_semantics_match_torch_layout():
+    """flax MHDPA with converted weights == manual torch-convention MHA."""
+    dim, heads, N = 384, 6, 8
+    sd = fake_dino_sd(depth=1)
+    flat = convert_dino_vits14(sd, depth=1)
+
+    from flax import linen as nn
+
+    attn = nn.MultiHeadDotProductAttention(num_heads=heads)
+    x = np.random.RandomState(2).randn(1, N, dim).astype(np.float32)
+    params = attn.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(x))
+
+    conv = {
+        k.split("attn/")[1]: v for k, v in flat.items()
+        if "block_0/attn/" in k
+    }
+    p = {"params": {
+        name: {"kernel": jnp.asarray(conv[f"{name}/kernel"]),
+               "bias": jnp.asarray(conv[f"{name}/bias"])}
+        for name in ("query", "key", "value", "out")
+    }}
+    out = np.asarray(attn.apply(p, jnp.asarray(x), jnp.asarray(x)))
+
+    # Manual torch-semantics attention with the ORIGINAL matrices.
+    qkv_w = sd["blocks.0.attn.qkv.weight"]
+    qkv_b = sd["blocks.0.attn.qkv.bias"]
+    proj_w = sd["blocks.0.attn.proj.weight"]
+    proj_b = sd["blocks.0.attn.proj.bias"]
+    qkv = x @ qkv_w.T + qkv_b                       # (1, N, 3D)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    hd = dim // heads
+
+    def split(t):  # (1, N, D) → (1, heads, N, hd)
+        return t.reshape(1, N, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(hd)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = (probs @ v).transpose(0, 2, 1, 3).reshape(1, N, dim)
+    ref = ref @ proj_w.T + proj_b
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_vgg16_conversion_loads_strict(tmp_path):
+    rng = np.random.RandomState(0)
+    widths = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512]
+    sd, cin = {}, 3
+    for torch_i, w in zip(_VGG16_CONV_IDS, widths):
+        sd[f"features.{torch_i}.weight"] = rng.randn(w, cin, 3, 3).astype(np.float32)
+        sd[f"features.{torch_i}.bias"] = rng.randn(w).astype(np.float32)
+        cin = w
+    flat = convert_vgg16(sd)
+    path = str(tmp_path / "vgg.npz")
+    np.savez(path, **flat)
+    loss = VGGPerceptualLoss(jax.random.PRNGKey(0), weights_path=path)
+    assert loss.pretrained
+    v = loss(jnp.zeros((1, 64, 64, 3)), jnp.ones((1, 64, 64, 3)) * 0.5)
+    assert np.isfinite(float(v))
+
+
+def test_inception_conversion_key_mapping(tmp_path):
+    """Converted inception keys all land on template leaves (strict)."""
+    fid = FID(image_size=64)
+    # Build a fake torch sd FROM the template so shapes/names line up.
+    sd = {}
+    flat_t = {}
+
+    def flatten(prefix, tree):
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                flatten(p, v)
+            else:
+                flat_t[p] = np.asarray(v)
+
+    flatten("", fid.params["params"])
+    flatten("", {"__bs__": {}})
+    for key, arr in flat_t.items():
+        parts = key.split("/")
+        mod = ".".join(parts[:-1])
+        leaf = parts[-1]
+        if leaf == "kernel":
+            sd[f"{mod}.weight"] = arr.transpose(3, 2, 0, 1)
+        elif leaf == "scale":
+            sd[f"{mod}.weight"] = arr
+        elif leaf == "bias":
+            sd[f"{mod}.bias"] = arr
+    for key, tree in fid.params["batch_stats"].items():
+        def fl(prefix, t):
+            for k, v in t.items():
+                p = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    fl(p, v)
+                else:
+                    name = {"mean": "running_mean", "var": "running_var"}[k]
+                    sd[f"{prefix}.{name}"] = np.asarray(v)
+        fl(key, tree)
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)  # must be skipped
+
+    flat = convert_inception_v3(sd)
+    path = str(tmp_path / "inc.npz")
+    np.savez(path, **flat)
+    fid2 = FID(weights_path=path, image_size=64)
+    assert fid2.pretrained
