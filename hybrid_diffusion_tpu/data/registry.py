@@ -195,7 +195,16 @@ def load_image(path: str) -> np.ndarray:
 
 def resize_image(img: np.ndarray, size: int) -> np.ndarray:
     """Resize HWC uint8 to (size, size) with bilinear interpolation
-    (the albumentations Resize default the reference uses, utils.py:318)."""
+    (the albumentations Resize default the reference uses, utils.py:318).
+
+    Uses the native C++ core (native/image_pipe.cpp) when built — same
+    half-pixel-center convention as cv2 INTER_LINEAR (±1 LSB) — and falls
+    back to cv2."""
+    from .native import BILINEAR, native_available
+    from .native import resize as native_resize
+
+    if native_available():
+        return native_resize(img, (size, size), BILINEAR)
     import cv2
 
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
