@@ -16,11 +16,16 @@ def main(argv=None) -> int:
     config = parse_config(argv)
     config.pprint()
 
-    from .train.loop import evaluate, train
+    from .train.loop import enhance_image, evaluate, train
 
     if config.state == "train":
         print("Training model")
         train(config)
+    elif config.state == "enhance" or (
+        config.inference_image and config.state in ("eval", "test")
+    ):
+        print("Enhancing single image")
+        enhance_image(config)
     elif config.state == "eval":
         print("Evaluating model (val split)")
         results = evaluate(config, split="val")
@@ -30,7 +35,8 @@ def main(argv=None) -> int:
         results = evaluate(config, split="test")
         print(results)
     else:
-        print("Invalid state. Use 'train', 'eval', 'test' (or 'inference').")
+        print("Invalid state. Use 'train', 'eval', 'test' (alias "
+              "'inference'), or 'enhance' with --inference_image.")
         return 2
     return 0
 

@@ -1,3 +1,4 @@
+from .distributed import maybe_initialize, process_info
 from .mesh import make_mesh, local_device_count
 from .sharding import (
     batch_sharding,

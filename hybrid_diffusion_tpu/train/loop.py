@@ -34,10 +34,12 @@ from ..models import DynamicUNet
 from ..parallel import (
     make_mesh,
     make_sharded_train_step,
+    maybe_initialize,
     shard_batch,
     shard_params,
     shard_state,
 )
+from ..utils import profile_trace, timed_block
 from .checkpoint import restore_params, save_checkpoint
 from .logging import MetricsLogger
 from .step import make_train_step, normalize_uint8
@@ -106,6 +108,7 @@ def _make_dino(config: Config):
 def train(config: Config, max_steps: Optional[int] = None) -> dict:
     """Two-stage training driver. Returns a summary dict (for tests)."""
     setup_cache(config)
+    maybe_initialize()  # multi-host (no-op single-host; SURVEY.md §5.8)
     mesh = make_mesh(config.mesh_data, config.mesh_model)
     model = build_model(config)
     params = init_params(config, model)
@@ -212,6 +215,41 @@ def make_sampler(config: Config, model: DynamicUNet, params):
     return sample
 
 
+def enhance_image(config: Config, image_path: Optional[str] = None,
+                  output_path: Optional[str] = None, params=None):
+    """Enhance a single image file end-to-end (CLI: --inference_image).
+
+    Loads → resize to config.img_size → DDIM sample conditioned on it →
+    writes <output_path or output/enhanced_<name>>; returns the uint8 RGB
+    array.
+    """
+    from ..data.registry import load_image, resize_image
+
+    setup_cache(config)
+    image_path = image_path or config.inference_image
+    if not image_path:
+        raise ValueError("no image path: set --inference_image")
+    model = build_model(Config(**{**config.__dict__, "dropout": 0.0}))
+    if params is None:
+        params = init_params(config, model)
+    sampler = make_sampler(config, model, params)
+
+    img = resize_image(load_image(image_path), config.img_size)
+    with timed_block("enhance"):
+        out = np.asarray(sampler(jnp.asarray(img[None]),
+                                 jax.random.PRNGKey(config.seed)))[0]
+    out_u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+    if output_path is None:
+        os.makedirs(config.output_path, exist_ok=True)
+        name = os.path.basename(image_path)
+        output_path = os.path.join(config.output_path, f"enhanced_{name}")
+    import cv2
+
+    cv2.imwrite(output_path, cv2.cvtColor(out_u8, cv2.COLOR_RGB2BGR))
+    print(f"[enhance] wrote {output_path}")
+    return out_u8
+
+
 def evaluate(config: Config, split: str = "test",
              checkpoint_path: Optional[str] = None,
              compute_fid: bool = True,
@@ -224,6 +262,7 @@ def evaluate(config: Config, split: str = "test",
     from ..metrics import FID, StreamingFID, getUIQM, nmetrics, psnr, ssim_index
 
     setup_cache(config)
+    maybe_initialize()
     model = build_model(config)
     eval_cfg = Config(**{**config.__dict__, "dropout": 0.0})
     model = build_model(eval_cfg)
@@ -248,7 +287,12 @@ def evaluate(config: Config, split: str = "test",
         rng = jax.random.PRNGKey(config.seed)
         for batch in loader:
             rng, sub = jax.random.split(rng)
-            sampled = np.asarray(sampler(jnp.asarray(batch["input"]), sub))
+            # Per-batch wall clock + optional jax.profiler trace — the
+            # reference's "time cost" print (rotinas.py:906-910) with
+            # honest async-dispatch timing (utils/profiling.py).
+            with profile_trace(), timed_block("sampling batch") as tb:
+                sampled = np.asarray(
+                    tb.block(sampler(jnp.asarray(batch["input"]), sub)))
             gt01 = batch["gt"].astype(np.float32) / 255.0
             if stream is not None:
                 stream.update(gt01, sampled)
