@@ -7,4 +7,5 @@ from .sharding import (
     shard_state,
     shard_params,
     make_sharded_train_step,
+    make_sharded_sampler,
 )

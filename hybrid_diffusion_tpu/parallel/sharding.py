@@ -106,3 +106,26 @@ def make_sharded_train_step(mesh: Mesh, train_step, state=None) -> Any:
     all-reduce and the model-axis attention collectives automatically.
     """
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_sharded_sampler(mesh: Mesh, sample_fn) -> Any:
+    """Batch-shard a sampler (cond, rng) → images over the data axis.
+
+    The role DDP-style batched inference would play in the reference:
+    each chip runs the full reverse-diffusion scan on its batch shard —
+    zero inter-chip communication during the scan (the U-Net params are
+    replicated), so sampling throughput scales linearly with chips (the
+    v5e-8 ≥10×-single-GPU target, BASELINE.md). Output stays sharded;
+    np.asarray gathers to host only when the caller materializes it.
+    """
+    jitted = jax.jit(
+        sample_fn,
+        in_shardings=(NamedSharding(mesh, P("data")), None),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+
+    def sample(cond, rng):
+        cond = jax.device_put(cond, NamedSharding(mesh, P("data")))
+        return jitted(cond, rng)
+
+    return sample

@@ -118,3 +118,29 @@ def test_batch_sharding_distributes(setup):
     # Each device holds B/8 examples.
     shard = b["input"].addressable_shards[0]
     assert shard.data.shape[0] == 1
+
+
+def test_sharded_sampler_matches_single_device(setup):
+    """Batch-sharded DDIM sampling == single-device sampling bit-for-bit
+    (threefry partitionable RNG; params replicated, batch on data axis)."""
+    from hybrid_diffusion_tpu.diffusion import ddim_sample
+    from hybrid_diffusion_tpu.parallel import make_sharded_sampler
+
+    model, params, schedule = setup
+
+    def denoise(x6, t, context_zero=True):
+        return model.apply(params, x6, t, context_zero=context_zero)
+
+    def sample_fn(cond, rng):
+        return ddim_sample(denoise, schedule, cond, rng, ddim_steps=4)
+
+    cond = jnp.asarray(
+        np.random.RandomState(3).randn(8, 16, 16, 3), jnp.float32)
+    rng = jax.random.PRNGKey(11)
+    plain = jax.jit(sample_fn)(cond, rng)
+
+    mesh = make_mesh()  # 8×1
+    sharded = make_sharded_sampler(mesh, sample_fn)(cond, rng)
+    assert sharded.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               atol=2e-5)
