@@ -10,6 +10,9 @@ UNet forward ≈150 ms/batch on a V100-class card ⇒ ~15 s per 16-image batch).
 vs_baseline = measured images/sec ÷ 1.0.
 
 Env overrides: BENCH_BATCH, BENCH_STEPS, BENCH_SIZE, BENCH_REPS, BENCH_QUICK.
+BENCH_MODE=train measures training steps/sec instead (full composite-loss
+train step at the reference operating point, BASELINE.md "train throughput"
+row); default is the DDIM sampling headline metric.
 """
 
 import json
@@ -27,8 +30,74 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_SINGLE_GPU_IMAGES_PER_SEC = 1.0  # nominal estimate, see docstring
 
 
+def bench_train(quick: bool) -> None:
+    """Train-step throughput (steps/sec, batch 16 @256² unless overridden)."""
+    import time
+
+    import numpy as np
+
+    from hybrid_diffusion_tpu.diffusion import linear_beta_schedule
+    from hybrid_diffusion_tpu.losses import CompositeLossConfig
+    from hybrid_diffusion_tpu.models import DynamicUNet
+    from hybrid_diffusion_tpu.train import create_train_state, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "4" if quick else "16"))
+    size = int(os.environ.get("BENCH_SIZE", "64" if quick else "256"))
+    reps = int(os.environ.get("BENCH_REPS", "2" if quick else "10"))
+
+    model = DynamicUNet(
+        T=1000, ch=32 if quick else 128,
+        ch_mult=(1, 2) if quick else (1, 2, 2, 2),
+        num_res_blocks=1 if quick else 2, dropout=0.15,
+        dtype=jnp.bfloat16, norm_dtype=jnp.bfloat16,
+        use_pallas_attention=True,
+    )
+    x6 = jnp.zeros((batch, size, size, 6))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x6,
+                                 jnp.zeros((batch,), jnp.int32))
+    schedule = linear_beta_schedule(1e-4, 0.02, 1000)
+    # DINO off (no pretrained weights here); MSE + MS-SSIM + color, the
+    # reference's live loss terms (diffusion/Diffusion.py:159-169).
+    cfg = CompositeLossConfig(dino_weight=0.0)
+    state = create_train_state(params, model.apply, total_epochs=1000,
+                               steps_per_epoch=100)
+    step = make_train_step(schedule, cfg, domain_routing=True)
+
+    rng = np.random.RandomState(0)
+    batches = [
+        {"input": jnp.asarray(rng.randint(0, 255, (batch, size, size, 3),
+                                          np.uint8)),
+         "gt": jnp.asarray(rng.randint(0, 255, (batch, size, size, 3),
+                                       np.uint8))}
+        for _ in range(3)
+    ]
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    state, m = step(state, batches[0], sub)
+    jax.block_until_ready(m["total"])
+    print(f"# compile+first step {time.time()-t0:.0f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(reps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batches[i % len(batches)], sub)
+    jax.block_until_ready(m["total"])
+    sps = reps / (time.time() - t0)
+    print(json.dumps({
+        "metric": f"train steps/sec {size}x{size} batch {batch} "
+                  "(composite loss, bf16, domain-routed)",
+        "value": round(sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps, 3),
+    }))
+
+
 def main():
     quick = bool(int(os.environ.get("BENCH_QUICK", "0")))
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train(quick)
+        return
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     size = int(os.environ.get("BENCH_SIZE", "256"))

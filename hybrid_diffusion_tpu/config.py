@@ -65,6 +65,7 @@ class Config:
     domain_routing: bool = True
     # paths / io
     pretrained_path: Optional[str] = None
+    resume_from: Optional[str] = None         # full-state checkpoint resume
     output_path: str = "./results/"
     checkpoint_dir: str = "./output/ckpt/"
     inference_image: str = ""
@@ -74,6 +75,7 @@ class Config:
     # TPU execution
     bf16: bool = True
     use_pallas_attention: bool = False
+    remat: bool = False                       # rematerialize ResBlocks (memory↓)
     mesh_data: Optional[int] = None           # None → all devices / model
     mesh_model: int = 1
     epoch: int = 2000                         # eval-time checkpoint selector

@@ -70,6 +70,10 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    # Module-level dropout switch: a static attribute (not a call kwarg)
+    # so nn.remat-wrapped blocks don't trace it (jax.checkpoint would
+    # otherwise see a traced bool inside nn.Dropout).
+    deterministic: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -78,8 +82,11 @@ class ResBlock(nn.Module):
         temb: jnp.ndarray,
         cemb: Optional[jnp.ndarray] = None,
         *,
-        deterministic: bool = True,
+        deterministic: Optional[bool] = None,
     ) -> jnp.ndarray:
+        if deterministic is None:
+            deterministic = (True if self.deterministic is None
+                             else self.deterministic)
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=32, dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)

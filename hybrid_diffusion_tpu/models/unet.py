@@ -75,6 +75,11 @@ class DynamicUNet(nn.Module):
     # halves the HBM traffic of every norm in the hot path.
     norm_dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    # Rematerialize ResBlock activations in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(depth) less HBM —
+    # the lever for large per-chip batches at 256² (HBM is the scaling
+    # bottleneck, not MXU).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -106,6 +111,8 @@ class DynamicUNet(nn.Module):
 
         kw = dict(tdim=tdim, dropout=self.dropout, dtype=self.dtype,
                   norm_dtype=self.norm_dtype)
+        Block = (nn.remat(ResBlock, static_argnums=())
+                 if self.remat else ResBlock)
 
         h = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=xavier_uniform, name="head")(x.astype(self.dtype))
@@ -116,8 +123,8 @@ class DynamicUNet(nn.Module):
         for i, mult in enumerate(self.ch_mult):
             out_ch = self.ch * mult
             for b in range(self.num_res_blocks):
-                h = ResBlock(out_ch=out_ch, attn=False, name=f"down_{i}_{b}",
-                             **kw)(h, temb, cemb, deterministic=not train)
+                h = Block(out_ch=out_ch, attn=False, name=f"down_{i}_{b}",
+                          deterministic=not train, **kw)(h, temb, cemb)
                 hs.append(h)
             now_ch = out_ch
             if i != len(self.ch_mult) - 1:
@@ -126,10 +133,10 @@ class DynamicUNet(nn.Module):
 
         # Middle: 4 attention ResBlocks (domain-routed via gradient gates).
         for m in range(NUM_MIDDLE_BLOCKS):
-            h = ResBlock(out_ch=now_ch, attn=True, num_heads=self.num_heads,
-                         use_pallas_attention=self.use_pallas_attention,
-                         name=f"middle_{m}", **kw)(
-                h, temb, cemb, deterministic=not train)
+            h = Block(out_ch=now_ch, attn=True, num_heads=self.num_heads,
+                      use_pallas_attention=self.use_pallas_attention,
+                      deterministic=not train,
+                      name=f"middle_{m}", **kw)(h, temb, cemb)
 
         # Up path: pop only num_res_blocks skips per level (reference
         # topology); nearest-resize on spatial mismatch.
@@ -139,8 +146,8 @@ class DynamicUNet(nn.Module):
                 skip = hs.pop()
                 skip = nearest_resize(skip, h.shape[1], h.shape[2])
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(out_ch=out_ch, attn=False, name=f"up_{i}_{b}",
-                             **kw)(h, temb, cemb, deterministic=not train)
+                h = Block(out_ch=out_ch, attn=False, name=f"up_{i}_{b}",
+                          deterministic=not train, **kw)(h, temb, cemb)
             if i != 0:
                 h = UpSample(dtype=self.dtype, name=f"upsample_{i}")(h)
 

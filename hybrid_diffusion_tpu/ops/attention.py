@@ -82,6 +82,28 @@ def _pallas_attention(q, k, v, interpret=False):
     return out.reshape(B, h, N, d).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention_diff(q, k, v, interpret):
+    """Pallas forward with a reverse-mode rule (pallas_call itself has no
+    VJP): backward differentiates the mathematically identical XLA
+    einsum formulation at the saved inputs — same trick as remat, and the
+    N×N score recompute is cheap at the 1024-token bottleneck."""
+    return _pallas_attention(q, k, v, interpret=interpret)
+
+
+def _pallas_attention_fwd(q, k, v, interpret):
+    return _pallas_attention(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _pallas_attention_bwd(interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+_pallas_attention_diff.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def fused_spatial_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -90,5 +112,5 @@ def fused_spatial_attention(
 ) -> jnp.ndarray:
     """Scaled-dot-product attention over (B, N, heads, head_dim) tensors."""
     if use_pallas:
-        return _pallas_attention(q, k, v, interpret=_pallas_interpret_mode())
+        return _pallas_attention_diff(q, k, v, _pallas_interpret_mode())
     return _xla_attention(q, k, v)

@@ -40,7 +40,7 @@ from ..parallel import (
     shard_state,
 )
 from ..utils import profile_trace, timed_block
-from .checkpoint import restore_params, save_checkpoint
+from .checkpoint import restore_params, restore_state, save_checkpoint
 from .logging import MetricsLogger
 from .step import make_train_step, normalize_uint8
 from .train_state import create_train_state
@@ -62,6 +62,7 @@ def build_model(config: Config) -> DynamicUNet:
         dropout=config.dropout,
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
         use_pallas_attention=config.use_pallas_attention,
+        remat=config.remat,
     )
 
 
@@ -131,6 +132,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     ]
     rng = jax.random.PRNGKey(config.seed)
     summary = {"stages": [], "steps": 0}
+    resumed = False
 
     for stage_name, domain, stage_epochs in stages:
         if stage_epochs <= 0:
@@ -145,6 +147,14 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             steps_per_epoch=steps_per_epoch, multiplier=config.multiplier,
         )
         state = shard_state(mesh, state)
+        if config.resume_from and not resumed:
+            # Full-state resume: params + optimizer moments + step, so the
+            # warmup-cosine schedule continues instead of restarting (the
+            # reference loses optimizer state on resume, SURVEY.md §5.4).
+            state = restore_state(config.resume_from, state)
+            resumed = True
+            print(f"[train] resumed full state from {config.resume_from} "
+                  f"(step {int(state.step)})")
 
         last_metrics: dict = {}
         for epoch in range(stage_epochs):

@@ -54,3 +54,30 @@ def test_nearest_resize_integer_upscale_matches_jax_image():
 def test_nearest_resize_identity():
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 3))
     assert nearest_resize(x, 4, 4) is x
+
+
+def test_pallas_attention_gradients_match_xla():
+    """custom_vjp backward (XLA recompute) == autodiff of the XLA path."""
+    import numpy as np
+    from hybrid_diffusion_tpu.ops.attention import (
+        _pallas_attention_diff,
+        _pallas_interpret_mode,
+        _xla_attention,
+    )
+
+    rng = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rng.randn(2, 16, 2, 8), jnp.float32)
+               for _ in range(3))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(
+            _pallas_attention_diff(q, k, v, _pallas_interpret_mode()) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

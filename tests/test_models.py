@@ -180,3 +180,26 @@ def test_cfg_unet_forward():
     o1 = model.apply(params, x, jnp.array([5, 5]), jnp.array([1, 1]))
     o2 = model.apply(params, x, jnp.array([5, 5]), jnp.array([2, 2]))
     assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_remat_forward_matches_and_grads_flow():
+    """remat=True is numerically identical forward and differentiable."""
+    import numpy as np
+
+    kw = dict(T=8, ch=32, ch_mult=(1, 2), num_res_blocks=1, dropout=0.0)
+    m_plain = DynamicUNet(**kw, remat=False)
+    m_remat = DynamicUNet(**kw, remat=True)
+    x6 = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 6),
+                     jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    params = m_plain.init(jax.random.PRNGKey(0), x6, t)
+    a = m_plain.apply(params, x6, t)
+    b = m_remat.apply(params, x6, t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def loss(p):
+        return jnp.mean(m_remat.apply(p, x6, t) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
