@@ -137,3 +137,56 @@ def test_full_composite_step_runs(tiny_setup):
     state2, m = step(state, batch, jax.random.PRNGKey(0))
     for k in ("mse", "ms_ssim", "color", "total", "grad_norm"):
         assert np.isfinite(float(m[k])), (k, m[k])
+
+
+def test_full_state_checkpoint_resume(tmp_path):
+    """save_checkpoint -> restore_state resumes step + optimizer moments;
+    train(resume_from=...) continues instead of restarting the schedule."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        restore_state,
+        save_checkpoint,
+    )
+    from hybrid_diffusion_tpu.train.loop import train
+
+    model = DynamicUNet(T=8, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        dropout=0.0)
+    x6 = jnp.zeros((2, 16, 16, 6))
+    params = model.init(jax.random.PRNGKey(0), x6, jnp.zeros(2, jnp.int32))
+    state = create_train_state(params, model.apply, total_epochs=4,
+                               steps_per_epoch=2)
+    schedule = linear_beta_schedule(1e-4, 0.02, 8)
+    step = make_train_step(
+        schedule, CompositeLossConfig(dino_weight=0, ms_ssim_weight=0,
+                                      color_weight=0), donate=False)
+    rng = np.random.RandomState(0)
+    batch = {"input": jnp.asarray(rng.randint(0, 255, (2, 16, 16, 3),
+                                              np.uint8)),
+             "gt": jnp.asarray(rng.randint(0, 255, (2, 16, 16, 3),
+                                           np.uint8))}
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    path = save_checkpoint(str(tmp_path), 3, "Stage", "SYN", state)
+
+    fresh = create_train_state(params, model.apply, total_epochs=4,
+                               steps_per_epoch=2)
+    restored = restore_state(path, fresh)
+    assert int(restored.step) == 3
+    a = jax.tree_util.tree_leaves(restored.params)[0]
+    b = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too (non-zero after 3 steps)
+    mo = jax.tree_util.tree_leaves(restored.opt_state)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in mo
+               if hasattr(l, "shape") and getattr(l, "size", 0) > 1)
+
+    # end-to-end: train() continues from the checkpoint step
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                 save_checkpoint=1000, dino_weight=0.0, bf16=False,
+                 checkpoint_dir=str(tmp_path / "ck2"),
+                 output_path=str(tmp_path / "out"), num_workers=1,
+                 compilation_cache="", resume_from=path)
+    summary = train(cfg, max_steps=1)
+    assert summary["steps"] == 1
