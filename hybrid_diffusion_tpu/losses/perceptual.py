@@ -149,8 +149,7 @@ class DinoPerceptualLoss:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         size = (image_size // 14) * 14
         dummy = jnp.zeros((1, size, size, 3))
-        self.params = jax.eval_shape(self.model.init, rng, dummy)
-        self.params = self.model.init(rng, dummy)
+        self.params = jax.jit(self.model.init)(rng, dummy)
         self.pretrained = False
         weights_path = weights_path or os.environ.get("HDT_DINO_WEIGHTS")
         if weights_path and os.path.exists(weights_path):
@@ -220,7 +219,7 @@ class VGGPerceptualLoss:
     ):
         self.model = _VGG16Features(dtype=dtype)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.params = self.model.init(rng, jnp.zeros((1, 64, 64, 3)))
+        self.params = jax.jit(self.model.init)(rng, jnp.zeros((1, 64, 64, 3)))
         self.pretrained = False
         weights_path = weights_path or os.environ.get("HDT_VGG_WEIGHTS")
         if weights_path and os.path.exists(weights_path):

@@ -161,7 +161,9 @@ class FID:
                  image_size: int = 256):
         self.model = InceptionV3Features()
         rng = jax.random.PRNGKey(0)
-        self.params = self.model.init(
+        # jit the init: eager op-by-op dispatch of ~300 convs is minutes
+        # on a small host; compiled it is one executable.
+        self.params = jax.jit(self.model.init)(
             rng, jnp.zeros((1, image_size, image_size, 3))
         )
         self.pretrained = False
