@@ -125,6 +125,36 @@ class BatchLoader:
             stop.set()
 
 
+def device_prefetch(iterator: Iterator[dict], sharding=None,
+                    depth: int = 2) -> Iterator[dict]:
+    """Overlap host→device transfer with device compute.
+
+    Eagerly device_puts up to `depth` upcoming batches (uint8, so the
+    copies are 1 byte/px) while the current step runs — the role of the
+    reference's pin_memory+non_blocking DataLoader transfers
+    (rotinas.py:593-605), TPU-style. `sharding` places batches straight
+    onto the mesh (parallel.batch_sharding) so no host-side reshard
+    happens later.
+    """
+    import collections
+
+    import jax
+
+    def put(batch: dict) -> dict:
+        return {
+            k: (jax.device_put(v, sharding) if hasattr(v, "shape") else v)
+            for k, v in batch.items()
+        }
+
+    buf: collections.deque = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def interleave(*loaders: BatchLoader) -> Iterator[dict]:
     """Round-robin over several loaders until all are exhausted — the
     reference's multi-dataloader interleaving (rotinas.py:487-519), used to

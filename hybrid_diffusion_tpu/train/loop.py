@@ -31,7 +31,9 @@ from ..config import Config
 from ..data import BatchLoader, make_dataset
 from ..diffusion import ddim_sample, ddpm_sample, linear_beta_schedule
 from ..models import DynamicUNet
+from ..data.pipeline import device_prefetch
 from ..parallel import (
+    batch_sharding,
     make_mesh,
     make_sharded_train_step,
     maybe_initialize,
@@ -160,11 +162,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         for epoch in range(stage_epochs):
             loader.set_epoch(epoch)
             t_epoch = time.time()
-            for batch in loader:
-                arrays = shard_batch(mesh, {
-                    "input": jnp.asarray(batch["input"]),
-                    "gt": jnp.asarray(batch["gt"]),
-                })
+            # Host→device copies of the next batches overlap the current
+            # step (device_prefetch); uint8 on the wire, normalize on-device.
+            batches = device_prefetch(
+                ({"input": b["input"], "gt": b["gt"]} for b in loader),
+                sharding=batch_sharding(mesh),
+            )
+            for arrays in batches:
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, arrays, sub)
                 summary["steps"] += 1
@@ -281,7 +285,8 @@ def evaluate(config: Config, split: str = "test",
 
     setup_cache(config)
     maybe_initialize()
-    model = build_model(config)
+    # Eval runs with dropout 0 (reference loads the net with dropout=0,
+    # rotinas.py:1104-1108).
     eval_cfg = Config(**{**config.__dict__, "dropout": 0.0})
     model = build_model(eval_cfg)
     params = init_params(config, model)

@@ -22,3 +22,13 @@ jax.config.update("jax_threefry_partitionable", True)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+# Persistent compilation cache: XLA-CPU compiles of the big extractor
+# graphs (InceptionV3, ViT) take many minutes on small hosts — cache them
+# across test runs (safe: keyed by HLO + flags).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "all")

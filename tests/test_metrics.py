@@ -196,3 +196,24 @@ def test_streaming_fid_matches_batch(fid):
 def test_fid_feature_dim(fid):
     f = fid.extract_features(np.zeros((2, 64, 64, 3), np.float32))
     assert f.shape == (2, 2048)
+
+
+def test_frechet_eigh_matches_scipy_sqrtm():
+    """Eigendecomposition trace form == reference scipy sqrtm form
+    (metrics.py:498-506) on full-rank and rank-deficient cases."""
+    from scipy import linalg
+
+    rng = np.random.RandomState(0)
+    for d, n1, n2 in [(16, 100, 120), (24, 8, 8)]:
+        f1 = rng.randn(n1, d) @ rng.randn(d, d) * 0.3 + rng.randn(d)
+        f2 = rng.randn(n2, d) @ rng.randn(d, d) * 0.3 + rng.randn(d)
+        mu1, s1 = f1.mean(0), np.cov(f1, rowvar=False)
+        mu2, s2 = f2.mean(0), np.cov(f2, rowvar=False)
+        covmean = np.real(linalg.sqrtm((s1 + np.eye(d) * 1e-9)
+                                       @ (s2 + np.eye(d) * 1e-9)))
+        ref = float(np.sum((mu1 - mu2) ** 2)
+                    + np.trace(s1 + s2 - 2 * covmean))
+        got = FID.frechet_distance(mu1, s1, mu2, s2)
+        lowrank = FID.frechet_from_features(f1, f2)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(lowrank, ref, rtol=1e-4, atol=1e-3)

@@ -1,0 +1,67 @@
+"""Serving-surface tests: warm Enhancer, padding/bucketing, prefetch."""
+
+import numpy as np
+import pytest
+
+from hybrid_diffusion_tpu.config import Config
+from hybrid_diffusion_tpu.data.pipeline import BatchLoader, device_prefetch
+from hybrid_diffusion_tpu.serve import Enhancer
+
+
+@pytest.fixture(scope="module")
+def enhancer():
+    cfg = Config(T=8, channel=32, channel_mult=(1, 2), num_res_blocks=1,
+                 dropout=0.0, img_size=32, ddim=True, ddim_step=4,
+                 bf16=False, compilation_cache="")
+    return Enhancer(cfg, max_batch=4, warmup=True)
+
+
+def test_enhance_mixed_sizes(enhancer):
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (40, 56, 3), np.uint8),
+            rng.randint(0, 255, (32, 32, 3), np.uint8),
+            rng.randint(0, 255, (17, 23, 3), np.uint8)]
+    outs = enhancer.enhance(imgs)
+    assert [o.shape for o in outs] == [im.shape for im in imgs]
+    assert all(o.dtype == np.uint8 for o in outs)
+
+
+def test_enhance_over_max_batch_buckets(enhancer):
+    rng = np.random.RandomState(1)
+    imgs = [rng.randint(0, 255, (32, 32, 3), np.uint8) for _ in range(6)]
+    outs = enhancer.enhance(imgs)  # 4 + 2 → two fixed-shape device calls
+    assert len(outs) == 6
+
+
+def test_enhance_empty(enhancer):
+    assert enhancer.enhance([]) == []
+
+
+def test_enhance_paths_writes(enhancer, tmp_path):
+    import cv2
+
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, np.zeros((20, 20, 3), np.uint8))
+    outs = enhancer.enhance_paths([p], output_dir=str(tmp_path / "o"))
+    assert len(outs) == 1
+    assert (tmp_path / "o" / "enhanced_x.png").exists()
+
+
+def test_device_prefetch_order_and_placement():
+    class DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"input": np.full((4, 4, 3), i, np.uint8),
+                    "gt": np.full((4, 4, 3), i, np.uint8),
+                    "name": f"{i}.png"}
+
+    loader = BatchLoader(DS(), batch_size=4, shuffle=False)
+    seen = list(device_prefetch(iter(loader), depth=2))
+    assert len(seen) == 3
+    # order preserved
+    firsts = [int(np.asarray(b["input"])[0, 0, 0, 0]) for b in seen]
+    assert firsts == [0, 4, 8]
+    # arrays became device arrays
+    assert hasattr(seen[0]["input"], "devices")
