@@ -123,11 +123,24 @@ class InceptionE(nn.Module):
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+MIN_INCEPTION_SIZE = 75  # VALID-conv chain yields 0 pixels below this
+
+
 class InceptionV3Features(nn.Module):
-    """InceptionV3 trunk → 2048-d global-average-pool features."""
+    """InceptionV3 trunk → 2048-d global-average-pool features.
+
+    Inputs must be ≥ 75×75 (same bound as torchvision's inception_v3):
+    below that the VALID stride chain reaches zero spatial size and the
+    global mean silently becomes NaN. FID.extract_features upsamples
+    smaller inputs automatically.
+    """
 
     @nn.compact
     def __call__(self, x):
+        if x.shape[1] < MIN_INCEPTION_SIZE or x.shape[2] < MIN_INCEPTION_SIZE:
+            raise ValueError(
+                f"InceptionV3 needs ≥{MIN_INCEPTION_SIZE}px inputs, got "
+                f"{x.shape[1]}x{x.shape[2]} (would reduce to 0 pixels)")
         x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding="SAME", name="Conv2d_2b_3x3")(x)
@@ -161,9 +174,11 @@ class FID:
         self.model = InceptionV3Features()
         rng = jax.random.PRNGKey(0)
         # jit the init: eager op-by-op dispatch of ~300 convs is minutes
-        # on a small host; compiled it is one executable.
+        # on a small host; compiled it is one executable. Params are
+        # spatial-size independent; init at the enforced minimum.
+        init_size = max(image_size, MIN_INCEPTION_SIZE)
         self.params = jax.jit(self.model.init)(
-            rng, jnp.zeros((1, image_size, image_size, 3))
+            rng, jnp.zeros((1, init_size, init_size, 3))
         )
         self.pretrained = False
         weights_path = weights_path or os.environ.get("HDT_INCEPTION_WEIGHTS")
@@ -181,6 +196,11 @@ class FID:
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
         x = jnp.clip(x, 0.0, 1.0)
+        if (x.shape[1] < MIN_INCEPTION_SIZE
+                or x.shape[2] < MIN_INCEPTION_SIZE):
+            x = jax.image.resize(
+                x, (x.shape[0], MIN_INCEPTION_SIZE, MIN_INCEPTION_SIZE,
+                    x.shape[3]), method="bilinear")
         return np.asarray(self._extract(self.params, x))
 
     @staticmethod

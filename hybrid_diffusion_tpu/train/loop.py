@@ -180,6 +180,20 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             print(f"[{stage_name}] epoch {epoch+1}/{stage_epochs} "
                   f"loss={last_metrics.get('total', float('nan')):.4f} "
                   f"{sps:.2f} steps/s")
+            # Failure detection (SURVEY.md §5.3 — the reference has none):
+            # a non-finite loss aborts the stage after an emergency save,
+            # so a resumable state survives divergence. Checked per epoch
+            # (per-step checks would force a device sync every step).
+            if not np.isfinite(last_metrics.get("total", 0.0)):
+                path = save_checkpoint(
+                    config.checkpoint_dir, epoch + 1,
+                    f"{stage_name}_NAN_ABORT", datasets_tag, state,
+                    metadata={"stage": stage_name, "epoch": epoch + 1,
+                              "reason": "non-finite loss"})
+                logger.alert("non-finite loss", path)
+                raise FloatingPointError(
+                    f"non-finite loss at {stage_name} epoch {epoch+1}; "
+                    f"emergency checkpoint: {path}")
             if (epoch + 1) % config.save_checkpoint == 0:
                 path = save_checkpoint(
                     config.checkpoint_dir, epoch + 1, stage_name,

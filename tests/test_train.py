@@ -190,3 +190,35 @@ def test_full_state_checkpoint_resume(tmp_path):
                  compilation_cache="", resume_from=path)
     summary = train(cfg, max_steps=1)
     assert summary["steps"] == 1
+
+
+def test_nan_guard_saves_emergency_checkpoint(tmp_path, monkeypatch):
+    """A non-finite loss aborts the stage with a resumable emergency save."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train import loop as loop_mod
+
+    real = loop_mod.make_train_step
+
+    def poisoned(*args, **kwargs):
+        step = real(*args, **kwargs)
+
+        def bad(state, batch, rng):
+            new_state, metrics = step(state, batch, rng)
+            metrics = dict(metrics)
+            metrics["total"] = jnp.float32(float("nan"))
+            return new_state, metrics
+
+        return bad
+
+    monkeypatch.setattr(loop_mod, "make_train_step", poisoned)
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                 save_checkpoint=1000, dino_weight=0.0, bf16=False,
+                 checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "out"), num_workers=1,
+                 compilation_cache="")
+    with pytest.raises(FloatingPointError):
+        loop_mod.train(cfg)
+    saved = list((tmp_path / "ck").glob("*NAN_ABORT*"))
+    assert saved, "emergency checkpoint not written"
