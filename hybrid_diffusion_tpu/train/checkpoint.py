@@ -83,3 +83,17 @@ def restore_state(path: str, state: Any) -> Any:
         opt_state=restored["opt_state"],
         step=restored["step"],
     )
+
+
+def find_checkpoint(directory: str, epoch: int) -> Optional[str]:
+    """Locate a checkpoint by epoch number (the reference's eval flows
+    select checkpoints via their name-encoded epoch, rotinas.py:859,
+    aplicacao.ipynb). Returns the newest `ckpt_{epoch}_*` directory under
+    `directory`, or None."""
+    import glob as _glob
+
+    pattern = os.path.join(os.path.abspath(directory), f"ckpt_{epoch}_*")
+    hits = [p for p in _glob.glob(pattern) if os.path.isdir(p)]
+    if not hits:
+        return None
+    return max(hits, key=os.path.getmtime)

@@ -42,7 +42,12 @@ from ..parallel import (
     shard_state,
 )
 from ..utils import profile_trace, timed_block
-from .checkpoint import restore_params, restore_state, save_checkpoint
+from .checkpoint import (
+    find_checkpoint,
+    restore_params,
+    restore_state,
+    save_checkpoint,
+)
 from .logging import MetricsLogger
 from .step import make_train_step, normalize_uint8
 from .train_state import create_train_state
@@ -72,9 +77,14 @@ def init_params(config: Config, model: DynamicUNet):
     x6 = jnp.zeros((1, config.img_size, config.img_size, 6))
     t = jnp.zeros((1,), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(config.seed), x6, t)
-    if config.pretrained_path:
-        params = restore_params(config.pretrained_path, params)
-        print(f"[train] restored params from {config.pretrained_path}")
+    path = config.pretrained_path
+    if not path and config.state in ("eval", "test", "enhance"):
+        # Epoch-based checkpoint selection (the reference's eval flows
+        # pick ckpt_{epoch}_* by name, rotinas.py:859).
+        path = find_checkpoint(config.checkpoint_dir, config.epoch)
+    if path:
+        params = restore_params(path, params)
+        print(f"[params] restored from {path}")
     return params
 
 def _dataset_name(config: Config, domain: str) -> str:

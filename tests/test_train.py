@@ -222,3 +222,18 @@ def test_nan_guard_saves_emergency_checkpoint(tmp_path, monkeypatch):
         loop_mod.train(cfg)
     saved = list((tmp_path / "ck").glob("*NAN_ABORT*"))
     assert saved, "emergency checkpoint not written"
+
+
+def test_find_checkpoint_by_epoch(tmp_path):
+    from hybrid_diffusion_tpu.train.checkpoint import find_checkpoint
+
+    for name in ("ckpt_200_Atmospheric_HICRDLoLI",
+                 "ckpt_400_Underwater_HICRDLoLI", "notes.txt"):
+        p = tmp_path / name
+        if name.endswith(".txt"):
+            p.write_text("x")
+        else:
+            p.mkdir()
+    assert find_checkpoint(str(tmp_path), 400).endswith(
+        "ckpt_400_Underwater_HICRDLoLI")
+    assert find_checkpoint(str(tmp_path), 999) is None
