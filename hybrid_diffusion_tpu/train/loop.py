@@ -95,7 +95,7 @@ def _dataset_name(config: Config, domain: str) -> str:
 
 
 def _loader(config: Config, domain: str, task: str,
-            shuffle: bool) -> BatchLoader:
+            shuffle: bool, drop_last: bool = False) -> BatchLoader:
     ds = make_dataset(
         _dataset_name(config, domain), task=task,
         dataset_path=config.dataset_path, image_size=config.img_size,
@@ -104,6 +104,7 @@ def _loader(config: Config, domain: str, task: str,
     )
     return BatchLoader(ds, config.batch_size, shuffle=shuffle,
                        seed=config.seed, num_workers=config.num_workers,
+                       drop_last=drop_last,
                        shard_hosts=jax.process_count() > 1)
 
 
@@ -149,7 +150,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     for stage_name, domain, stage_epochs in stages:
         if stage_epochs <= 0:
             continue
-        loader = _loader(config, domain, "train", shuffle=True)
+        # A ragged final batch cannot shard over the data axis (and would
+        # trigger a recompile even single-device) — drop it when the batch
+        # doesn't divide, like DistributedSampler padding rounds off.
+        loader = _loader(config, domain, "train", shuffle=True,
+                         drop_last=mesh.devices.size > 1)
         steps_per_epoch = max(len(loader), 1)
         # Fresh optimizer per stage (rotinas.py:660) — same params carry over.
         state = create_train_state(
@@ -338,12 +343,21 @@ def evaluate(config: Config, split: str = "test",
         rng = jax.random.PRNGKey(config.seed)
         for batch in loader:
             rng, sub = jax.random.split(rng)
+            # Pad a ragged final batch up to batch_size (repeat-edge): one
+            # compiled shape for the whole sweep, and the mesh data axis
+            # always divides. Padded outputs are sliced off below.
+            n_actual = batch["input"].shape[0]
+            inp = batch["input"]
+            if n_actual < config.batch_size:
+                reps = np.concatenate(
+                    [inp] + [inp[-1:]] * (config.batch_size - n_actual))
+                inp = reps
             # Per-batch wall clock + optional jax.profiler trace — the
             # reference's "time cost" print (rotinas.py:906-910) with
             # honest async-dispatch timing (utils/profiling.py).
             with profile_trace(), timed_block("sampling batch") as tb:
                 sampled = np.asarray(
-                    tb.block(sampler(jnp.asarray(batch["input"]), sub)))
+                    tb.block(sampler(jnp.asarray(inp), sub)))[:n_actual]
             gt01 = batch["gt"].astype(np.float32) / 255.0
             if stream is not None:
                 stream.update(gt01, sampled)
