@@ -49,11 +49,19 @@ class Config:
     # staged training (Main.py:55-57)
     epochs_stage_1: int = 1000                # atmospheric stage
     epochs_stage_2: int = 1000                # underwater stage
+    # Joint mode: one stage interleaving both domain loaders batch-by-batch
+    # (epochs_stage_1 epochs). This is where the dynamic domain routing
+    # actually matters — batches alternate domains, so both middle-block
+    # gate patterns fire within one optimizer run.
+    joint_training: bool = False
     save_checkpoint: int = 200                # ckpt cadence in epochs
     # sampling (Main.py:33-35)
     ddim: bool = True
     ddim_step: int = 100
     unconditional_guidance_scale: float = 1.0
+    # "" → reference behavior (ddim flag picks DDIM/DDPM). "dpm++2m"
+    # selects DPM-Solver++(2M): DDIM-100-class quality in ~15-25 steps.
+    sampler: str = ""
     # losses (diffusion/Diffusion.py:159)
     dino_weight: float = 0.5
     ms_ssim_weight: float = 0.0045

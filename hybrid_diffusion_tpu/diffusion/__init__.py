@@ -7,3 +7,4 @@ from .process import (
     ddim_coefficients,
 )
 from .sampler import ddpm_sample, ddim_sample
+from .dpm_solver import dpm_solver_coefficients, dpm_solver_pp_2m_sample

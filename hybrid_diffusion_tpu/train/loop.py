@@ -29,6 +29,7 @@ import numpy as np
 
 from ..config import Config
 from ..data import BatchLoader, make_dataset
+from ..data.pipeline import interleave
 from ..diffusion import ddim_sample, ddpm_sample, linear_beta_schedule
 from ..models import DynamicUNet
 from ..data.pipeline import device_prefetch
@@ -139,10 +140,16 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     step_fn = make_sharded_train_step(mesh, raw_step)
 
     datasets_tag = f"{config.underwater_data_name}{config.atmospheric_data_name}"
-    stages = [
-        ("Atmospheric", "atmospheric", config.epochs_stage_1),
-        ("Underwater", "underwater", config.epochs_stage_2),
-    ]
+    if config.joint_training:
+        # One stage, both domains interleaved batch-by-batch — the regime
+        # where the color-statistic routing exercises both middle-block
+        # gate patterns inside a single optimizer run.
+        stages = [("Joint", "both", config.epochs_stage_1)]
+    else:
+        stages = [
+            ("Atmospheric", "atmospheric", config.epochs_stage_1),
+            ("Underwater", "underwater", config.epochs_stage_2),
+        ]
     rng = jax.random.PRNGKey(config.seed)
     summary = {"stages": [], "steps": 0}
     resumed = False
@@ -153,9 +160,18 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         # A ragged final batch cannot shard over the data axis (and would
         # trigger a recompile even single-device) — drop it when the batch
         # doesn't divide, like DistributedSampler padding rounds off.
-        loader = _loader(config, domain, "train", shuffle=True,
-                         drop_last=mesh.devices.size > 1)
-        steps_per_epoch = max(len(loader), 1)
+        drop_last = mesh.devices.size > 1
+        if domain == "both":
+            loaders = [
+                _loader(config, "atmospheric", "train", shuffle=True,
+                        drop_last=drop_last),
+                _loader(config, "underwater", "train", shuffle=True,
+                        drop_last=drop_last),
+            ]
+        else:
+            loaders = [_loader(config, domain, "train", shuffle=True,
+                               drop_last=drop_last)]
+        steps_per_epoch = max(sum(len(l) for l in loaders), 1)
         # Fresh optimizer per stage (rotinas.py:660) — same params carry over.
         state = create_train_state(
             shard_params(mesh, params), model.apply,
@@ -175,12 +191,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
         last_metrics: dict = {}
         for epoch in range(stage_epochs):
-            loader.set_epoch(epoch)
+            for ld in loaders:
+                ld.set_epoch(epoch)
+            batch_iter = (iter(loaders[0]) if len(loaders) == 1
+                          else interleave(*loaders))
             t_epoch = time.time()
             # Host→device copies of the next batches overlap the current
             # step (device_prefetch); uint8 on the wire, normalize on-device.
             batches = device_prefetch(
-                ({"input": b["input"], "gt": b["gt"]} for b in loader),
+                ({"input": b["input"], "gt": b["gt"]} for b in batch_iter),
                 sharding=batch_sharding(mesh),
             )
             for arrays in batches:
@@ -250,7 +269,13 @@ def make_sampler(config: Config, model: DynamicUNet, params, mesh=None):
 
     def sample_fn(cond_u8, rng):
         cond = normalize_uint8(cond_u8)
-        if config.ddim:
+        if config.sampler == "dpm++2m":
+            from ..diffusion import dpm_solver_pp_2m_sample
+
+            out = dpm_solver_pp_2m_sample(denoise, schedule, cond, rng,
+                                          steps=config.ddim_step,
+                                          guidance_scale=guidance)
+        elif config.ddim:
             out = ddim_sample(denoise, schedule, cond, rng,
                               ddim_steps=config.ddim_step,
                               guidance_scale=guidance)

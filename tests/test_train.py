@@ -256,3 +256,22 @@ def test_evaluate_ragged_final_batch(tmp_path):
     # sliced back); all 50 real images scored
     assert res["underwater"]["n_images"] == 50
     assert np.isfinite(res["underwater"]["psnr"])
+
+
+def test_joint_training_interleaves_domains(tmp_path):
+    """joint_training=True runs one stage over both domain loaders."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, joint_training=True,
+                 epochs_stage_1=1, epochs_stage_2=0, save_checkpoint=1000,
+                 dino_weight=0.0, bf16=False,
+                 checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "o"), num_workers=1,
+                 compilation_cache="")
+    summary = train(cfg)
+    assert [s["stage"] for s in summary["stages"]] == ["Joint"]
+    # one epoch over BOTH loaders: 8 atm + 8 uw images / batch 8 = 2 steps
+    assert summary["steps"] == 2
