@@ -105,8 +105,14 @@ def main():
     if quick:
         batch, steps, size, reps = 4, 10, 64, 2
 
-    from hybrid_diffusion_tpu.diffusion import ddim_sample, linear_beta_schedule
+    from hybrid_diffusion_tpu.diffusion import (
+        ddim_sample,
+        dpm_solver_pp_2m_sample,
+        linear_beta_schedule,
+    )
     from hybrid_diffusion_tpu.models import DynamicUNet
+
+    sampler_name = os.environ.get("BENCH_SAMPLER", "ddim")
 
     model = DynamicUNet(
         T=1000,
@@ -142,6 +148,9 @@ def main():
 
     @jax.jit
     def sample(cond, rng):
+        if sampler_name == "dpm++2m":
+            return dpm_solver_pp_2m_sample(denoise, schedule, cond, rng,
+                                           steps=steps)
         return ddim_sample(denoise, schedule, cond, rng, ddim_steps=steps)
 
     cond = jnp.zeros((batch, size, size, 3))
@@ -159,8 +168,9 @@ def main():
     print(f"# times={['%.3f' % t for t in times]}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"images/sec/chip {size}x{size} DDIM-{steps} sampling "
-                  f"(batch {batch}, bf16)",
+        "metric": f"images/sec/chip {size}x{size} "
+                  f"{'DPM++2M' if sampler_name == 'dpm++2m' else 'DDIM'}"
+                  f"-{steps} sampling (batch {batch}, bf16)",
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(
