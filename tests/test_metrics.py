@@ -217,3 +217,35 @@ def test_frechet_eigh_matches_scipy_sqrtm():
         lowrank = FID.frechet_from_features(f1, f2)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(lowrank, ref, rtol=1e-4, atol=1e-3)
+
+
+# ---------- standalone folder harness (reference metrics.py:609-668) ----------
+
+def test_folder_harness(tmp_path, capsys):
+    import cv2
+
+    from hybrid_diffusion_tpu.metrics.__main__ import evaluate_folders, main
+
+    res_dir, gt_dir = tmp_path / "res", tmp_path / "gt"
+    res_dir.mkdir(), gt_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        gt = rng.randint(0, 255, (48, 48, 3), np.uint8)
+        noisy = np.clip(gt.astype(np.int32)
+                        + rng.randint(-20, 20, gt.shape), 0, 255)
+        cv2.imwrite(str(gt_dir / f"im_{i}.png"), gt)
+        cv2.imwrite(str(res_dir / f"im_{i}.png"), noisy.astype(np.uint8))
+    # A corrupt result file must be shielded, not fatal (metrics.py:632-645).
+    (res_dir / "im_9.png").write_bytes(b"not an image")
+    (gt_dir / "im_9.png").write_bytes(b"not an image")
+
+    out = evaluate_folders(str(res_dir), str(gt_dir))
+    assert out["n"] == 3
+    assert 15 < out["psnr"] < 40 and 0 < out["ssim"] <= 1
+    for k in ("uiqm", "uciqe", "uism"):
+        assert math.isfinite(out[k])
+
+    report = tmp_path / "report.txt"
+    assert main([str(res_dir), str(gt_dir), "--report", str(report)]) == 0
+    assert "Average (n=3):" in capsys.readouterr().out
+    assert report.read_text().startswith("Average (n=3):")
