@@ -21,6 +21,15 @@ class MetricsLogger:
             try:
                 import wandb
 
+                # Token-file login (Main.py:78-93 reads wandb_token.txt,
+                # gitignored). Override path via HDT_WANDB_TOKEN_FILE.
+                import os
+
+                token_file = os.environ.get("HDT_WANDB_TOKEN_FILE",
+                                            "wandb_token.txt")
+                if os.path.isfile(token_file):
+                    with open(token_file) as f:
+                        wandb.login(key=f.read().strip())
                 wandb.init(project=project or "hybrid-diffusion-tpu",
                            name=run_name or None, config=config or {},
                            tags=tags or [], group=group, job_type="train")

@@ -126,3 +126,13 @@ def test_interleave_round_robin():
     kinds = ["u" if "underwater" in b["name"][0] else "a"
              for b in interleave(u, a)]
     assert kinds == ["u", "a", "u"]
+
+
+def test_plot_batch_grid(tmp_path):
+    from hybrid_diffusion_tpu.data.visualize import plot_batch_grid
+
+    loader = BatchLoader(SyntheticPairedDataset(6, 16, "underwater"), 6,
+                         shuffle=False)
+    out = plot_batch_grid(loader, num_images=6,
+                          out_path=str(tmp_path / "preview.png"))
+    assert out is not None and (tmp_path / "preview.png").stat().st_size > 0
