@@ -116,7 +116,7 @@ def cfg_train_step(
         return jnp.mean(sq)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    new_state = state.apply_gradients(grads)
+    new_state = state.apply_gradients(grads).update_ema()
     return new_state, {"loss": loss}
 
 

@@ -46,6 +46,9 @@ class Config:
     grad_clip: float = 1.0
     weight_decay: float = 1e-4
     batch_size: int = 16
+    # beyond-reference training options (off by default)
+    ema_decay: float = 0.0                    # >0: keep EMA params; eval uses them
+    grad_accum: int = 1                       # micro-batches per optimizer update
     # staged training (Main.py:55-57)
     epochs_stage_1: int = 1000                # atmospheric stage
     epochs_stage_2: int = 1000                # underwater stage

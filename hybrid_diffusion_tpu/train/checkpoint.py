@@ -41,14 +41,31 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    has_ema = getattr(state, "ema_params", None) is not None
+    if has_ema:
+        payload["ema_params"] = state.ema_params
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    if metadata:
-        import json
+    import json
 
-        with open(os.path.join(path, "hdt_metadata.json"), "w") as f:
-            json.dump(metadata, f)
+    meta = dict(metadata or {})
+    meta["has_ema"] = has_ema
+    with open(os.path.join(path, "hdt_metadata.json"), "w") as f:
+        json.dump(meta, f)
     return path
+
+
+def checkpoint_has_ema(path: str) -> bool:
+    meta_file = os.path.join(os.path.abspath(path), "hdt_metadata.json")
+    if not os.path.isfile(meta_file):
+        return False
+    import json
+
+    try:
+        with open(meta_file) as f:
+            return bool(json.load(f).get("has_ema"))
+    except (OSError, ValueError):
+        return False
 
 
 def restore_params(path: str, params_template: Any) -> Any:
@@ -58,30 +75,41 @@ def restore_params(path: str, params_template: Any) -> Any:
     params.
     """
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    if checkpoint_has_ema(path):
+        # Evaluation/transfer prefers the EMA weights when the run kept them.
+        return _restore_partial(
+            path, {"ema_params": params_template})["ema_params"]
     try:
-        restored = ckptr.restore(
-            path,
-            {"params": params_template, "opt_state": None, "step": None},
-        )
-        return restored["params"]
+        return _restore_partial(path, {"params": params_template})["params"]
     except Exception:
-        return ckptr.restore(path, params_template)
+        # Params-only checkpoints (e.g. converted external weights).
+        return ocp.StandardCheckpointer().restore(path, params_template)
+
+
+def _restore_partial(path: str, item: Any) -> Any:
+    """Restore a subtree of a saved train-state checkpoint."""
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(item=item, partial_restore=True)
+        )
 
 
 def restore_state(path: str, state: Any) -> Any:
     """Restore the full train state (resume training mid-schedule)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        path,
-        {"params": state.params, "opt_state": state.opt_state,
-         "step": state.step},
-    )
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+    with_ema = (getattr(state, "ema_params", None) is not None
+                and checkpoint_has_ema(path))
+    if with_ema:
+        template["ema_params"] = state.ema_params
+    restored = ckptr.restore(path, template)
     return state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=restored["step"],
+        **({"ema_params": restored["ema_params"]} if with_ema else {}),
     )
 
 

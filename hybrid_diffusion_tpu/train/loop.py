@@ -171,13 +171,17 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         else:
             loaders = [_loader(config, domain, "train", shuffle=True,
                                drop_last=drop_last)]
-        steps_per_epoch = max(sum(len(l) for l in loaders), 1)
+        # The LR schedule counts optimizer updates: with grad accumulation,
+        # k micro-batches advance it once.
+        steps_per_epoch = max(
+            sum(len(l) for l in loaders) // max(config.grad_accum, 1), 1)
         # Fresh optimizer per stage (rotinas.py:660) — same params carry over.
         state = create_train_state(
             shard_params(mesh, params), model.apply,
             lr=config.lr, weight_decay=config.weight_decay,
             grad_clip=config.grad_clip, total_epochs=stage_epochs,
             steps_per_epoch=steps_per_epoch, multiplier=config.multiplier,
+            ema_decay=config.ema_decay, grad_accum=config.grad_accum,
         )
         state = shard_state(mesh, state)
         if config.resume_from and not resumed:

@@ -141,6 +141,7 @@ def diffusion_train_step(
             params=blend_by_gates(new_state.params, state.params, gates),
             opt_state=blend_by_gates(new_state.opt_state, state.opt_state, gates),
         )
+    new_state = new_state.update_ema()
     parts["grad_norm"] = optax_global_norm(grads)
     return new_state, {k: v for k, v in parts.items()}
 

@@ -4,6 +4,12 @@ Reference operating point (Main.py:23-28, rotinas.py:660-665): AdamW
 lr=5e-5 wd=1e-4, global-norm clip 1.0, warmup ×2 over epochs//10 then
 cosine. Each training *stage* gets a fresh optimizer (rotinas.py:660) —
 `create_train_state` is simply called again with the stage's epoch budget.
+
+Beyond-reference options (both off by default):
+  - ema_decay > 0 keeps an exponential moving average of the parameters
+    (standard diffusion practice; evaluation prefers EMA weights);
+  - grad_accum > 1 accumulates k micro-batch gradients per optimizer
+    update (optax.MultiSteps), for large effective batches per chip.
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -30,6 +38,26 @@ class TrainState(struct.PyTreeNode):
         return self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt_state
         )
+
+    def update_ema(self):
+        """ema ← d·ema + (1−d)·params. No-op unless EMA is enabled.
+
+        Called at the *end* of a train step (after any domain-gate blend),
+        so the average tracks the parameters actually kept.
+        """
+        if self.ema_params is None:
+            return self
+        d = self.ema_decay
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            self.ema_params, self.params,
+        )
+        return self.replace(ema_params=new_ema)
+
+    @property
+    def eval_params(self):
+        """Parameters to sample/evaluate with: EMA when kept, else live."""
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def create_train_state(
@@ -43,6 +71,8 @@ def create_train_state(
     steps_per_epoch: int = 100,
     multiplier: float = 2.0,
     warm_epochs: int | None = None,
+    ema_decay: float = 0.0,
+    grad_accum: int = 1,
 ) -> TrainState:
     schedule = warmup_cosine_schedule(
         lr, total_epochs, steps_per_epoch, multiplier, warm_epochs
@@ -51,6 +81,8 @@ def create_train_state(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, weight_decay=weight_decay),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     import jax.numpy as jnp
 
     return TrainState(
@@ -59,4 +91,7 @@ def create_train_state(
         opt_state=tx.init(params),
         tx=tx,
         apply_fn=apply_fn,
+        ema_params=(jax.tree_util.tree_map(jnp.array, params)
+                    if ema_decay > 0 else None),
+        ema_decay=ema_decay,
     )

@@ -275,3 +275,91 @@ def test_joint_training_interleaves_domains(tmp_path):
     assert [s["stage"] for s in summary["stages"]] == ["Joint"]
     # one epoch over BOTH loaders: 8 atm + 8 uw images / batch 8 = 2 steps
     assert summary["steps"] == 2
+
+
+# ---------- EMA + gradient accumulation (beyond-reference, train_state.py) ----
+
+
+def test_ema_tracks_params(tiny_setup):
+    model, _, schedule = tiny_setup
+    params = jax.tree_util.tree_map(jnp.array, tiny_setup[1].params)
+    state = create_train_state(params, model.apply, lr=1e-3, total_epochs=10,
+                               steps_per_epoch=5, ema_decay=0.5)
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    s0_params = jax.tree_util.tree_map(jnp.array, state.params)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, _ = step(state, batch, sub)
+    # EMA moved off the start but lags the live params (whole-tree L2).
+    d_e_p0 = _tree_dist(state.ema_params, s0_params)
+    d_e_p = _tree_dist(state.ema_params, state.params)
+    d_p_p0 = _tree_dist(state.params, s0_params)
+    assert d_e_p0 > 0 and d_e_p > 0
+    assert d_e_p0 < d_p_p0  # the average trails the trajectory
+    # eval_params prefers the EMA tree.
+    assert state.eval_params is state.ema_params
+
+
+def _tree_dist(a, b) -> float:
+    return float(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32) - y.astype(jnp.float32)))
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b))))
+
+
+def test_ema_checkpoint_roundtrip(tiny_setup, tmp_path):
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        checkpoint_has_ema,
+        restore_params,
+        restore_state,
+        save_checkpoint,
+    )
+
+    model, _, schedule = tiny_setup
+    params = jax.tree_util.tree_map(jnp.array, tiny_setup[1].params)
+    state = create_train_state(params, model.apply, lr=1e-2, total_epochs=10,
+                               steps_per_epoch=5, ema_decay=0.9)
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    path = save_checkpoint(str(tmp_path), 1, "Stage", "ds", state)
+    assert checkpoint_has_ema(path)
+    # restore_params prefers EMA weights.
+    got = restore_params(path, jax.tree_util.tree_map(jnp.zeros_like, params))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))
+    # full-state resume restores the EMA tree too.
+    fresh = create_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, params), model.apply,
+        lr=1e-2, total_epochs=10, steps_per_epoch=5, ema_decay=0.9)
+    resumed = restore_state(path, fresh)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(resumed.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))
+
+
+def test_grad_accum_matches_big_batch(tiny_setup):
+    """k micro-steps with grad_accum=k == one step on the concatenated batch
+    (same LR step; mean loss ⇒ averaged gradients)."""
+    model, _, schedule = tiny_setup
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
+
+    def fresh(k):
+        params = jax.tree_util.tree_map(jnp.array, tiny_setup[1].params)
+        return create_train_state(params, model.apply, lr=1e-3,
+                                  total_epochs=10, steps_per_epoch=5,
+                                  grad_accum=k)
+
+    b1, b2 = _batch(0), _batch(1)
+    sa = fresh(2)
+    p0 = jax.tree_util.tree_map(jnp.array, sa.params)
+    sa, _ = step(sa, b1, jax.random.PRNGKey(7))
+    # After the 1st micro-batch no optimizer update happened (whole tree).
+    assert _tree_dist(sa.params, p0) == 0.0
+    sa, _ = step(sa, b2, jax.random.PRNGKey(8))
+    assert _tree_dist(sa.params, p0) > 0.0
