@@ -144,3 +144,25 @@ def test_sharded_sampler_matches_single_device(setup):
     assert sharded.sharding.spec == P("data")
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
                                atol=2e-5)
+
+
+def test_sharded_train_step_with_ema(setup):
+    """EMA tree stays consistent under mesh execution + buffer donation."""
+    model, params, schedule = setup
+    mesh = make_mesh()  # 8×1 DP
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    state = create_train_state(shard_params(mesh, params), model.apply,
+                               total_epochs=10, steps_per_epoch=5,
+                               ema_decay=0.5)
+    state = shard_state(mesh, state)
+    step = make_sharded_train_step(mesh, make_train_step(
+        schedule, cfg, domain_routing=True, jit=False))
+    sbatch = shard_batch(mesh, _batch())
+    for k in range(2):
+        state, _ = step(state, sbatch, jax.random.PRNGKey(k))
+    dist = float(sum(
+        jnp.sum(jnp.square(e - p)) for e, p in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(state.params))))
+    assert dist > 0  # EMA lags the live params
+    assert np.isfinite(dist)
