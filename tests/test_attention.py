@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hybrid_diffusion_tpu.ops.attention import (
     _pallas_attention,
@@ -81,3 +82,40 @@ def test_pallas_attention_gradients_match_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_attention_matches_torch_mha():
+    """Golden parity with the reference's exact op: torch.nn.MultiheadAttention
+    (diffusion/Model.py:306-311), same weights, same inputs."""
+    torch = pytest.importorskip("torch")
+
+    from hybrid_diffusion_tpu.models.blocks import SpatialSelfAttention
+
+    B, H, W, C, heads = 2, 4, 4, 32, 4
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, H, W, C).astype(np.float32)
+
+    torch.manual_seed(0)
+    mha = torch.nn.MultiheadAttention(C, heads, batch_first=True)
+    with torch.no_grad():
+        ref, _ = mha(*([torch.from_numpy(x.reshape(B, H * W, C))] * 3),
+                     need_weights=False)
+    ref = ref.numpy().reshape(B, H, W, C)
+
+    w_in = mha.in_proj_weight.detach().numpy()    # (3C, C)
+    b_in = mha.in_proj_bias.detach().numpy()      # (3C,)
+    w_out = mha.out_proj.weight.detach().numpy()  # (C, C)
+    b_out = mha.out_proj.bias.detach().numpy()
+    params = {"params": {
+        "in_proj": {"kernel": jnp.asarray(w_in.T), "bias": jnp.asarray(b_in)},
+        "out_proj": {"kernel": jnp.asarray(w_out.T),
+                     "bias": jnp.asarray(b_out)},
+    }}
+    mod = SpatialSelfAttention(channels=C, num_heads=heads)
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # And through the Pallas kernel path.
+    mod_p = SpatialSelfAttention(channels=C, num_heads=heads, use_pallas=True)
+    out_p = np.asarray(mod_p.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out_p, ref, atol=2e-4)
