@@ -182,42 +182,112 @@ class DinoPerceptualLoss:
         return loss
 
 
-class _VGG16Features(nn.Module):
-    """VGG-16 conv stack up to conv4_3, emitting the reference's tap points."""
+# torchvision `features` stack configurations (numbers = conv out-channels,
+# "M" = 2×2 max-pool) and the reference's default tap indices per variant
+# (Loss/loss.py:193-204). Tap indices address the *torchvision features
+# Sequential* (conv/BN/ReLU/pool each count one slot), reproduced exactly —
+# including vgg11's accidental pre-ReLU/pool taps and its out-of-range 22.
+VGG_CFGS: dict[str, list] = {
+    "vgg11": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "vgg13": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+              512, 512, "M"],
+    "vgg16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"],
+    "vgg19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+VGG_DEFAULT_TAPS: dict[str, list[int]] = {
+    "vgg11": [3, 8, 15, 22],
+    "vgg13": [3, 8, 15, 22],
+    "vgg16": [3, 8, 15, 22],
+    "vgg19": [3, 8, 17, 26, 35],
+}
 
+
+class _VGGFeatures(nn.Module):
+    """A torchvision-`features`-ordered VGG stack emitting tapped layers.
+
+    batch_norm inserts eval-mode BN (affine with frozen running stats, as
+    the reference uses the extractor: .eval() + requires_grad=False,
+    Loss/loss.py:189-192) between each conv and its ReLU.
+    """
+
+    cfg: tuple
+    taps: tuple
+    batch_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
-        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
-        # torchvision feature indices of the reference taps {3, 8, 15, 22}
-        # correspond to post-ReLU conv1_2, conv2_2, conv3_3, conv4_3.
-        taps = {1, 3, 6, 9}  # conv counter values at those ReLUs
+        taps = set(self.taps)
+        max_tap = max(taps) if taps else -1
         feats = []
+        idx = 0  # torchvision features-Sequential slot counter
+
+        def emit(y):
+            if idx in taps:
+                feats.append(y)
+
         conv_i = 0
-        for v in cfg:
+        for v in self.cfg:
+            if idx > max_tap:  # nothing left to tap — skip deeper stages
+                break
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                emit(x)
+                idx += 1
             else:
                 x = nn.Conv(v, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"conv_{conv_i}")(x)
+                emit(x)
+                idx += 1
+                if self.batch_norm:
+                    scale = self.param(f"bn_{conv_i}_scale",
+                                       nn.initializers.ones, (v,))
+                    bias = self.param(f"bn_{conv_i}_bias",
+                                      nn.initializers.zeros, (v,))
+                    mean = self.param(f"bn_{conv_i}_mean",
+                                      nn.initializers.zeros, (v,))
+                    var = self.param(f"bn_{conv_i}_var",
+                                     nn.initializers.ones, (v,))
+                    x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+                    emit(x)
+                    idx += 1
                 x = nn.relu(x)
+                emit(x)
+                idx += 1
                 conv_i += 1
-                if conv_i in taps:
-                    feats.append(x)
         return feats
 
 
 class VGGPerceptualLoss:
-    """Frozen VGG-16 feature-matching loss (L1, summed over 4 tap layers)."""
+    """Frozen VGG feature-matching loss (L1, summed over tap layers).
+
+    model: one of vgg11/13/16/19 (+ '_bn' suffix) — the reference's
+    selectable backbones (Loss/loss.py:159-204); 'squeeze'/'alex' are not
+    supported in this build (raise with the valid list).
+    layer_indices overrides the default taps, like the reference ctor.
+    """
 
     def __init__(
         self,
         rng: jax.Array | None = None,
         weights_path: Optional[str] = None,
         dtype: jnp.dtype = jnp.float32,
+        model: str = "vgg16",
+        layer_indices: Optional[Sequence[int]] = None,
     ):
-        self.model = _VGG16Features(dtype=dtype)
+        base = model[:-3] if model.endswith("_bn") else model
+        if base not in VGG_CFGS:
+            raise ValueError(
+                f"Unsupported perceptual model {model!r}. Choose from "
+                f"{sorted(VGG_CFGS) + [k + '_bn' for k in sorted(VGG_CFGS)]}")
+        taps = tuple(layer_indices if layer_indices is not None
+                     else VGG_DEFAULT_TAPS[base])
+        self.model = _VGGFeatures(cfg=tuple(VGG_CFGS[base]), taps=taps,
+                                  batch_norm=model.endswith("_bn"),
+                                  dtype=dtype)
+        self.name = f"VGGPerceptualLoss_{model}"
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.params = jax.jit(self.model.init)(rng, jnp.zeros((1, 64, 64, 3)))
         self.pretrained = False

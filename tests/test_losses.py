@@ -143,3 +143,37 @@ def test_composite_is_differentiable():
 
     g = jax.grad(f)(x0)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_vgg_variants_tap_semantics():
+    """Reference backbone selection (Loss/loss.py:159-204): tap indices
+    address the torchvision features-Sequential exactly — vgg19 yields 5
+    features; vgg11's out-of-range index 22 silently yields only 3 (the
+    reference loop just ends); unsupported names raise with the list."""
+    import pytest as _pytest
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+
+    v16 = VGGPerceptualLoss(jax.random.PRNGKey(0), model="vgg16")
+    f16 = v16.model.apply(v16.params, x)
+    assert [f.shape[1] for f in f16] == [64, 32, 16, 8]  # post-ReLU taps
+
+    v19 = VGGPerceptualLoss(jax.random.PRNGKey(0), model="vgg19")
+    assert len(v19.model.apply(v19.params, x)) == 5
+
+    v11 = VGGPerceptualLoss(jax.random.PRNGKey(0), model="vgg11")
+    assert len(v11.model.apply(v11.params, x)) == 3
+
+    custom = VGGPerceptualLoss(jax.random.PRNGKey(0), model="vgg16",
+                               layer_indices=[3, 8])
+    assert len(custom.model.apply(custom.params, x)) == 2
+
+    bn = VGGPerceptualLoss(jax.random.PRNGKey(0), model="vgg16_bn")
+    # BN shifts every slot index: [3,8,15,22] land differently but still
+    # produce 4 finite feature maps.
+    fbn = bn.model.apply(bn.params, x)
+    assert len(fbn) == 4 and all(np.isfinite(np.asarray(f)).all()
+                                 for f in fbn)
+
+    with _pytest.raises(ValueError):
+        VGGPerceptualLoss(jax.random.PRNGKey(0), model="squeeze")
