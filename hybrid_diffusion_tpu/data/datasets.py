@@ -143,8 +143,17 @@ def make_dataset(
     "synthetic-atmospheric" for the fixture."""
     if name.startswith("synthetic"):
         domain = name.split("-", 1)[1] if "-" in name else "underwater"
+        # Disjoint splits, 70/10/20-proportioned like registry.split_data
+        # (utils.py:44): task-specific seeds make val/test images the model
+        # never trained on.
+        if task == "val":
+            length, seed = max(synthetic_length // 7, 2), 1
+        elif task == "test":
+            length, seed = max(synthetic_length * 2 // 7, 2), 2
+        else:
+            length, seed = synthetic_length, 0
         return SyntheticPairedDataset(
-            length=synthetic_length, image_size=image_size, domain=domain
+            length=length, image_size=image_size, domain=domain, seed=seed
         )
     if name not in UNDERWATER_DATASETS + ATMOSPHERIC_DATASETS:
         raise ValueError(f"Unknown dataset {name!r}")
