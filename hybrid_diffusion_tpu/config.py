@@ -90,6 +90,8 @@ class Config:
     remat: bool = False                       # rematerialize ResBlocks (memory↓)
     mesh_data: Optional[int] = None           # None → all devices / model
     mesh_model: int = 1
+    zero1: bool = False                       # shard optimizer state over data axis
+    async_checkpoint: bool = False            # overlap periodic saves with training
     epoch: int = 2000                         # eval-time checkpoint selector
     seed: int = 0
     num_workers: int = 4

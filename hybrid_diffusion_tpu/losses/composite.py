@@ -38,7 +38,9 @@ class CompositeLossConfig:
     # scale every x0_pred-based term per example by ᾱ_t, so high-noise
     # draws — whose x0 reconstruction is mostly noise — don't inject
     # garbage image-space gradients. Measured on the e2e demo: the
-    # unweighted aux losses cost −1.7 dB val PSNR at 1500 steps.
+    # unweighted aux losses cost −1.7 dB val PSNR at 1500 steps;
+    # ᾱ_t weighting recovers +0.4 dB of that over MSE-only at the same
+    # budget (T=1000, 1500 steps: 7.24/6.94 vs 6.85/6.66 uw/atm dB).
     aux_snr_weight: bool = False
 
 

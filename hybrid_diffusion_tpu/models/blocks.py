@@ -17,7 +17,7 @@ fp32 GroupNorm statistics.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,10 @@ class SpatialSelfAttention(nn.Module):
     num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Optional override for the core (q, k, v) → out computation, e.g.
+    # ops.make_ring_attention(mesh) for token-sharded sequence parallelism
+    # when attending at high resolution (SURVEY.md §5.7).
+    attention_fn: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +57,10 @@ class SpatialSelfAttention(nn.Module):
             return t.reshape(B, H * W, self.num_heads, head_dim)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        out = fused_spatial_attention(q, k, v, use_pallas=self.use_pallas)
+        if self.attention_fn is not None:
+            out = self.attention_fn(q, k, v)
+        else:
+            out = fused_spatial_attention(q, k, v, use_pallas=self.use_pallas)
         out = out.reshape(B, H * W, C)
         out = nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
         return out.reshape(B, H, W, C)

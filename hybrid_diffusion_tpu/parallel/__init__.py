@@ -6,6 +6,7 @@ from .sharding import (
     shard_batch,
     shard_state,
     shard_params,
+    state_shardings,
     make_sharded_train_step,
     make_sharded_sampler,
 )

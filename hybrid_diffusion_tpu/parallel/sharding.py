@@ -79,33 +79,88 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     }
 
 
-def shard_state(mesh: Mesh, state: Any) -> Any:
-    """Place every train-state leaf on the mesh.
+def _keep_or_replicate(mesh: Mesh, x) -> NamedSharding:
+    sh = getattr(x, "sharding", None)
+    if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+        return sh
+    return NamedSharding(mesh, P())
 
-    Leaves already carrying a NamedSharding on this mesh (params placed via
-    shard_params, and optimizer moments inheriting from them) are kept;
-    everything else (step counter, schedule count, …) is replicated.
+
+def state_shardings(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
+    """Sharding pytree for a TrainState (same treedef, shardings at leaves).
+
+    Default: every leaf keeps its current placement (params as placed by
+    shard_params; everything else replicated).
+
+    zero1=True: ZeRO-1 / optimizer-state sharding — AdamW moments, grad-
+    accumulation buffers, and the EMA average are sharded over the **data**
+    axis (largest dim divisible by the axis size), while params stay
+    replicated. Each chip then owns 1/N of the optimizer state: XLA lowers
+    the update to reduce-scatter(grads) → shard-local moment update →
+    all-gather(updates), cutting optimizer memory per chip from 3× params
+    (μ, ν, EMA) to 3×/N. The reference's DDP replicates optimizer state on
+    every GPU (rotinas.py:618-627); this is the TPU-native improvement.
     """
-    replicated = NamedSharding(mesh, P())
+    tree = jax.tree_util.tree_map(
+        lambda x: _keep_or_replicate(mesh, x), state)
+    if not zero1 or mesh.shape["data"] == 1:
+        return tree
 
-    def place(x):
-        sh = getattr(x, "sharding", None)
-        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
-            return x
-        return jax.device_put(x, replicated)
+    ndata = mesh.shape["data"]
 
-    return jax.tree_util.tree_map(place, state)
+    def zero1_rule(x):
+        sh = _keep_or_replicate(mesh, x)
+        if sh.spec != P():          # e.g. model-sharded attn moments: keep
+            return sh
+        shape = getattr(x, "shape", ())
+        best = None
+        for d in range(len(shape) - 1, -1, -1):
+            if shape[d] % ndata == 0 and (
+                    best is None or shape[d] > shape[best]):
+                best = d
+        if best is None:            # scalar counts / tiny leaves
+            return sh
+        spec = [None] * len(shape)
+        spec[best] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return tree.replace(
+        opt_state=jax.tree_util.tree_map(zero1_rule, state.opt_state),
+        ema_params=jax.tree_util.tree_map(zero1_rule, state.ema_params),
+    )
 
 
-def make_sharded_train_step(mesh: Mesh, train_step, state=None) -> Any:
+def shard_state(mesh: Mesh, state: Any, zero1: bool = False) -> Any:
+    """Place every train-state leaf on the mesh (see state_shardings)."""
+    sh_tree = state_shardings(mesh, state, zero1=zero1)
+    return jax.tree_util.tree_map(
+        lambda x, s: x if getattr(x, "sharding", None) == s
+        else jax.device_put(x, s),
+        state, sh_tree,
+    )
+
+
+def make_sharded_train_step(mesh: Mesh, train_step, state_shardings=None):
     """Jit a raw train step for mesh execution.
 
-    `train_step` is the raw fn from train.make_train_step(jit=False). Input
-    placement is taken from the committed shardings of the state/batch
-    (shard_state / shard_batch); XLA then inserts the data-axis gradient
-    all-reduce and the model-axis attention collectives automatically.
+    `train_step` is the raw fn from train.make_train_step(jit=False). By
+    default input placement is taken from the committed shardings of the
+    state/batch (shard_state / shard_batch); XLA then inserts the data-axis
+    gradient all-reduce and the model-axis attention collectives
+    automatically.
+
+    Passing the `state_shardings(mesh, state, zero1=True)` tree pins the
+    ZeRO-1 placement on both the input and output state, so GSPMD cannot
+    silently re-replicate the moments between steps.
     """
-    return jax.jit(train_step, donate_argnums=(0,))
+    if state_shardings is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(
+        train_step,
+        in_shardings=(state_shardings, NamedSharding(mesh, P("data")), None),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,),
+    )
 
 
 def make_sharded_sampler(mesh: Mesh, sample_fn) -> Any:

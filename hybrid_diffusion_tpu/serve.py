@@ -104,3 +104,49 @@ class Enhancer:
                                    f"enhanced_{os.path.basename(p)}")
                 cv2.imwrite(dst, cv2.cvtColor(o, cv2.COLOR_RGB2BGR))
         return outs
+
+
+def export_enhancer(
+    enhancer: Enhancer,
+    path: Optional[str] = None,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Serialize the warm sampler to portable StableHLO (jax.export).
+
+    The exported artifact captures the whole enhancement program — weights
+    baked in as constants, DDIM scan, normalization — callable from any
+    JAX process (or a C++ PJRT runtime) without this package or Python
+    model code. `platforms` pins lowering targets (e.g. ("tpu", "cpu"));
+    default is the current backend.
+
+    Returns the serialized bytes; writes them to `path` when given.
+    Reload with `load_exported(path)(batch_u8, key)`.
+    """
+    from jax import export as jax_export
+
+    def fn(batch_u8, key):
+        return enhancer._sample(batch_u8, key)
+
+    args = (
+        jnp.zeros((enhancer.max_batch, enhancer.size, enhancer.size, 3),
+                  jnp.uint8),
+        jax.random.PRNGKey(0),
+    )
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    exported = jax_export.export(jax.jit(fn), **kwargs)(*args)
+    data = exported.serialize()
+    if path:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def load_exported(path_or_bytes):
+    """Deserialize an export_enhancer artifact → callable (batch_u8, key)."""
+    from jax import export as jax_export
+
+    if isinstance(path_or_bytes, (str, os.PathLike)):
+        with open(path_or_bytes, "rb") as f:
+            path_or_bytes = f.read()
+    exported = jax_export.deserialize(path_or_bytes)
+    return exported.call

@@ -21,6 +21,28 @@ def checkpoint_name(epoch: int, stage: str, datasets: str) -> str:
     return f"ckpt_{epoch}_{stage}_{datasets}"
 
 
+# Async-save machinery: one long-lived AsyncCheckpointer plus the metadata
+# writes deferred until its background commit finishes (orbax copies the
+# arrays device→host synchronously inside save(), so the training loop may
+# donate/overwrite the live buffers immediately — only the disk write runs
+# in the background thread).
+_ASYNC: dict = {"ckptr": None, "pending": []}
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async save has committed; write deferred metadata."""
+    ck = _ASYNC["ckptr"]
+    if ck is None:
+        return
+    ck.wait_until_finished()
+    import json
+
+    for path, meta in _ASYNC["pending"]:
+        with open(os.path.join(path, "hdt_metadata.json"), "w") as f:
+            json.dump(meta, f)
+    _ASYNC["pending"].clear()
+
+
 def save_checkpoint(
     directory: str,
     epoch: int,
@@ -28,14 +50,20 @@ def save_checkpoint(
     datasets: str,
     state: Any,
     metadata: Optional[dict] = None,
+    block: bool = True,
 ) -> str:
-    """Save params+opt_state+step under a stage-encoded directory name."""
+    """Save params+opt_state+step under a stage-encoded directory name.
+
+    block=False returns as soon as the device→host copy is done and lets
+    the disk write overlap subsequent training steps (the reference's
+    torch.save stalls the loop, rotinas.py:700-706). Call
+    `wait_for_checkpoints()` before relying on the files.
+    """
     if jax.process_index() != 0:
         return ""
     path = os.path.abspath(
         os.path.join(directory, checkpoint_name(epoch, stage, datasets))
     )
-    ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -44,12 +72,21 @@ def save_checkpoint(
     has_ema = getattr(state, "ema_params", None) is not None
     if has_ema:
         payload["ema_params"] = state.ema_params
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    import json
-
     meta = dict(metadata or {})
     meta["has_ema"] = has_ema
+    import json
+
+    if not block:
+        if _ASYNC["ckptr"] is None:
+            _ASYNC["ckptr"] = ocp.StandardCheckpointer()
+        wait_for_checkpoints()  # one in-flight save at a time
+        _ASYNC["ckptr"].save(path, payload, force=True)
+        _ASYNC["pending"].append((path, meta))
+        return path
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
     with open(os.path.join(path, "hdt_metadata.json"), "w") as f:
         json.dump(meta, f)
     return path

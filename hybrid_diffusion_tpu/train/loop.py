@@ -48,6 +48,7 @@ from .checkpoint import (
     restore_params,
     restore_state,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from .logging import MetricsLogger
 from .step import make_train_step, normalize_uint8
@@ -137,7 +138,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         use_conditioning=config.use_conditioning, p_uncond=config.p_uncond,
         domain_routing=config.domain_routing, jit=False,
     )
-    step_fn = make_sharded_train_step(mesh, raw_step)
+    # With ZeRO-1 the step's in/out shardings are pinned from the first
+    # stage's state (same treedef/shapes every stage — one compile).
+    step_fn = (None if config.zero1
+               else make_sharded_train_step(mesh, raw_step))
 
     datasets_tag = f"{config.underwater_data_name}{config.atmospheric_data_name}"
     if config.joint_training:
@@ -183,12 +187,22 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             steps_per_epoch=steps_per_epoch, multiplier=config.multiplier,
             ema_decay=config.ema_decay, grad_accum=config.grad_accum,
         )
-        state = shard_state(mesh, state)
+        state = shard_state(mesh, state, zero1=config.zero1)
+        if step_fn is None:
+            from ..parallel import state_shardings
+
+            step_fn = make_sharded_train_step(
+                mesh, raw_step,
+                state_shardings=state_shardings(mesh, state,
+                                                zero1=config.zero1))
         if config.resume_from and not resumed:
             # Full-state resume: params + optimizer moments + step, so the
             # warmup-cosine schedule continues instead of restarting (the
             # reference loses optimizer state on resume, SURVEY.md §5.4).
             state = restore_state(config.resume_from, state)
+            # Orbax may restore leaves without the template's placement —
+            # re-pin (no-op when shardings already match).
+            state = shard_state(mesh, state, zero1=config.zero1)
             resumed = True
             print(f"[train] resumed full state from {config.resume_from} "
                   f"(step {int(state.step)})")
@@ -233,16 +247,21 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     f"non-finite loss at {stage_name} epoch {epoch+1}; "
                     f"emergency checkpoint: {path}")
             if (epoch + 1) % config.save_checkpoint == 0:
+                # Periodic saves overlap training (async): save() returns
+                # after the D2H copy; the disk write rides a background
+                # thread. Stage-final/emergency saves below stay blocking.
                 path = save_checkpoint(
                     config.checkpoint_dir, epoch + 1, stage_name,
                     datasets_tag, state,
                     metadata={"stage": stage_name, "epoch": epoch + 1},
+                    block=not config.async_checkpoint,
                 )
                 logger.alert("checkpoint", path)
             if max_steps and summary["steps"] >= max_steps:
                 break
 
         params = state.params  # carry into the next stage
+        wait_for_checkpoints()  # flush any in-flight async save
         path = save_checkpoint(config.checkpoint_dir, stage_epochs,
                                f"{stage_name}_final", datasets_tag, state,
                                metadata={"stage": stage_name})

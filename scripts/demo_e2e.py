@@ -30,16 +30,21 @@ def build_config(tmp: str, args) -> "Config":
     return Config(
         state="train",
         synthetic_data=True,
-        synthetic_length=args.batch * 8,
+        synthetic_length=args.synthetic_length or args.batch * 8,
         img_size=args.size,
         batch_size=args.batch,
         channel=args.channel,
-        channel_mult=[1, 2],
-        num_res_blocks=1,
+        channel_mult=args.channel_mult,
+        num_res_blocks=args.num_res_blocks,
         T=args.T,
         dropout=0.1,
         lr=args.lr,
-        epochs_stage_1=max(args.steps // 16 + 1, 1),
+        # Calibrate the warmup-cosine schedule to end at --steps: joint
+        # training sees 2 domains × length/batch batches per epoch.
+        epochs_stage_1=max(
+            args.steps
+            // max(2 * (args.synthetic_length or args.batch * 8)
+                   // args.batch, 1) + 1, 1),
         epochs_stage_2=0,
         joint_training=True,
         # EMA horizon matched to the run: ~20 effective init-free windows
@@ -88,6 +93,10 @@ def main() -> int:
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--channel", type=int, default=64)
+    p.add_argument("--channel_mult", type=int, nargs="+", default=[1, 2])
+    p.add_argument("--num_res_blocks", type=int, default=1)
+    p.add_argument("--synthetic_length", type=int, default=0,
+                   help="paired images per domain (default: batch*8)")
     p.add_argument("--T", type=int, default=200)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--ddim_steps", type=int, default=50)

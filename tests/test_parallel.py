@@ -166,3 +166,50 @@ def test_sharded_train_step_with_ema(setup):
             jax.tree_util.tree_leaves(state.params))))
     assert dist > 0  # EMA lags the live params
     assert np.isfinite(dist)
+
+
+def test_zero1_optimizer_sharding(setup):
+    """ZeRO-1: moments + EMA shard over the data axis, params replicated,
+    and the update matches the fully-replicated step numerically."""
+    from hybrid_diffusion_tpu.parallel import state_shardings
+
+    model, params, schedule = setup
+    mesh = make_mesh()  # 8×1 DP
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    batch = _batch()
+
+    # Replicated baseline first (donation aliasing — see above).
+    base = create_train_state(params, model.apply, total_epochs=10,
+                              steps_per_epoch=5)
+    plain_step = make_train_step(schedule, cfg, donate=False)
+    new_plain, _ = plain_step(base, batch, jax.random.PRNGKey(7))
+
+    state = create_train_state(shard_params(mesh, params), model.apply,
+                               total_epochs=10, steps_per_epoch=5,
+                               ema_decay=0.5)
+    state = shard_state(mesh, state, zero1=True)
+    sh = state_shardings(mesh, state, zero1=True)
+    step = make_sharded_train_step(mesh, make_train_step(
+        schedule, cfg, jit=False), state_shardings=sh)
+
+    # Adam μ for a conv kernel: sharded over "data"; its param: replicated.
+    mu = state.opt_state[1][0].mu["params"]["head"]["kernel"]
+    assert "data" in tuple(mu.sharding.spec)
+    assert mu.addressable_shards[0].data.size == mu.size // 8
+    assert state.params["params"]["head"]["kernel"].sharding.spec == P()
+
+    sbatch = shard_batch(mesh, batch)
+    state, metrics = step(state, sbatch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["total"]))
+    # First-step params match the replicated baseline (allclose: the
+    # sharded reduction order differs) and stay replicated.
+    np.testing.assert_allclose(
+        np.asarray(state.params["params"]["head"]["kernel"]),
+        np.asarray(new_plain.params["params"]["head"]["kernel"]),
+        atol=1e-5)
+    assert state.params["params"]["head"]["kernel"].sharding.spec == P()
+    # Output state keeps the pinned ZeRO placement across steps.
+    state, _ = step(state, sbatch, jax.random.PRNGKey(8))
+    mu2 = state.opt_state[1][0].mu["params"]["head"]["kernel"]
+    assert mu2.sharding == mu.sharding
+    assert state.ema_params["params"]["head"]["kernel"].sharding.spec != P()

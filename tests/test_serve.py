@@ -65,3 +65,23 @@ def test_device_prefetch_order_and_placement():
     assert firsts == [0, 4, 8]
     # arrays became device arrays
     assert hasattr(seen[0]["input"], "devices")
+
+
+def test_export_roundtrip(enhancer, tmp_path):
+    """StableHLO export == live sampler output, reloaded from disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_diffusion_tpu.serve import export_enhancer, load_exported
+
+    path = str(tmp_path / "enhancer.stablehlo")
+    export_enhancer(enhancer, path=path)
+    call = load_exported(path)
+
+    batch = np.random.RandomState(0).randint(
+        0, 255, (enhancer.max_batch, enhancer.size, enhancer.size, 3),
+        dtype=np.uint8)
+    key = jax.random.PRNGKey(42)
+    live = np.asarray(enhancer._sample(jnp.asarray(batch), key))
+    exported = np.asarray(call(jnp.asarray(batch), key))
+    np.testing.assert_allclose(exported, live, atol=1e-5)

@@ -125,18 +125,39 @@ def test_no_recompile_across_domains(tiny_setup):
 
 
 def test_full_composite_step_runs(tiny_setup):
+    """Composite objective (MSE + MS-SSIM + color) through the full U-Net
+    grad at 96² — 4 MS-SSIM scales engage. 96² (not the 5-scale 176²)
+    because XLA:CPU compile time for the U-Net backward grows superlinearly
+    past ~128px (≈45 min at 176² vs ≈70 s at 96² on this host); the
+    5-scale path is covered by test_ms_ssim_five_scale_grad without the
+    U-Net in the program.
+    """
     _, state, schedule = tiny_setup
     step = make_train_step(schedule, CompositeLossConfig(dino_weight=0.0),
                            donate=False)
     batch = {
-        "input": jnp.zeros((2, 176, 176, 3), jnp.uint8),
-        "gt": jnp.zeros((2, 176, 176, 3), jnp.uint8),
+        "input": jnp.zeros((2, 96, 96, 3), jnp.uint8),
+        "gt": jnp.zeros((2, 96, 96, 3), jnp.uint8),
     }
     # Needs a model init at this resolution — reuse state's params is fine
     # because the U-Net is resolution-agnostic.
     state2, m = step(state, batch, jax.random.PRNGKey(0))
     for k in ("mse", "ms_ssim", "color", "total", "grad_norm"):
         assert np.isfinite(float(m[k])), (k, m[k])
+
+
+def test_ms_ssim_five_scale_grad():
+    """All 5 standard MS-SSIM scales (min side ≥ 11·2⁴ = 176) produce a
+    finite, nonzero gradient — the operating-point path of the 256² model,
+    isolated from the U-Net so the compile stays seconds-scale."""
+    from hybrid_diffusion_tpu.losses.ms_ssim import ms_ssim_loss
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 176, 176, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(2, 176, 176, 3), jnp.float32)
+    g = jax.jit(jax.grad(lambda a: ms_ssim_loss(a, y)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
 
 
 def test_full_state_checkpoint_resume(tmp_path):
@@ -376,3 +397,42 @@ def test_aux_snr_weight_through_train_step(tiny_setup):
     state, metrics = step(state, _batch(), jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total"]))
     assert "color" in metrics
+
+
+def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """block=False saves commit after wait_for_checkpoints(), with
+    metadata intact and the saved arrays immune to later donation."""
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        checkpoint_has_ema,
+        restore_state,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    model, base_state, schedule = tiny_setup
+    params = base_state.params
+    batch = _batch()
+    state = create_train_state(params, model.apply, total_epochs=4,
+                               steps_per_epoch=2, ema_decay=0.5)
+    step = make_train_step(
+        schedule, CompositeLossConfig(dino_weight=0, ms_ssim_weight=0,
+                                      color_weight=0), donate=False)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    saved_head = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]).copy()
+
+    path = save_checkpoint(str(tmp_path), 1, "Async", "SYN", state,
+                           metadata={"stage": "Async"}, block=False)
+    # Mutate the live state after the async save returned (the D2H copy
+    # must have already happened).
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    wait_for_checkpoints()
+    assert checkpoint_has_ema(path)
+
+    fresh = create_train_state(params, model.apply, total_epochs=4,
+                               steps_per_epoch=2, ema_decay=0.5)
+    restored = restore_state(path, fresh)
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        saved_head)

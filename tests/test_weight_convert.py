@@ -183,3 +183,46 @@ def test_inception_conversion_key_mapping(tmp_path):
     np.savez(path, **flat)
     fid2 = FID(weights_path=path, image_size=64)
     assert fid2.pretrained
+
+
+def test_vgg16_golden_against_torch(tmp_path):
+    """End-to-end: a real (random-init) torch VGG16-features stack's tap
+    activations == our flax _VGGFeatures with the converted state_dict —
+    closes the loop that the architecture AND the converter match torch
+    exactly. (torchvision isn't in this image; its vgg16.features is just
+    this Sequential — same layer indices and state_dict keys.)"""
+    torch = pytest.importorskip("torch")
+    nn = torch.nn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
+    layers, in_c = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(in_c, v, 3, padding=1), nn.ReLU()]
+            in_c = v
+    features = nn.Sequential(*layers).eval()
+
+    with torch.no_grad():
+        x = torch.from_numpy(
+            np.random.RandomState(0).rand(2, 3, 64, 64).astype(np.float32))
+        taps = (3, 8, 15, 22)
+        torch_feats, y = [], x
+        for i, layer in enumerate(features):
+            y = layer(y)
+            if i in taps:
+                torch_feats.append(y.numpy().transpose(0, 2, 3, 1))  # NHWC
+
+    sd = {f"features.{k}": v for k, v in features.state_dict().items()}
+    npz = {k: v for k, v in convert_vgg16(sd).items()}
+    path = str(tmp_path / "vgg16.npz")
+    np.savez(path, **npz)
+
+    loss = VGGPerceptualLoss(weights_path=path)
+    assert loss.pretrained
+    ours = loss.model.apply(
+        loss.params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    assert len(ours) == len(torch_feats)
+    for a, b in zip(ours, torch_feats):
+        np.testing.assert_allclose(np.asarray(a), b, atol=2e-4)
