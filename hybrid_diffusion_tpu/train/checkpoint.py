@@ -150,6 +150,16 @@ def restore_state(path: str, state: Any) -> Any:
     )
 
 
+def find_latest_checkpoint(directory: str) -> Optional[str]:
+    """Newest ckpt_* directory under `directory` (auto-resume after a
+    preemption: `--resume_from auto`)."""
+    import glob as _glob
+
+    pattern = os.path.join(os.path.abspath(directory), "ckpt_*")
+    hits = [p for p in _glob.glob(pattern) if os.path.isdir(p)]
+    return max(hits, key=os.path.getmtime) if hits else None
+
+
 def find_checkpoint(directory: str, epoch: int) -> Optional[str]:
     """Locate a checkpoint by epoch number (the reference's eval flows
     select checkpoints via their name-encoded epoch, rotinas.py:859,

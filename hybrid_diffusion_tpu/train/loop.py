@@ -45,6 +45,7 @@ from ..parallel import (
 from ..utils import profile_trace, timed_block
 from .checkpoint import (
     find_checkpoint,
+    find_latest_checkpoint,
     restore_params,
     restore_state,
     save_checkpoint,
@@ -123,6 +124,24 @@ def _make_dino(config: Config):
 
 def train(config: Config, max_steps: Optional[int] = None) -> dict:
     """Two-stage training driver. Returns a summary dict (for tests)."""
+    # Preemption safety (SURVEY.md §5.3 — the reference has none): SIGTERM
+    # (the TPU-VM maintenance-event signal) requests a graceful stop; the
+    # loop saves a resumable full-state checkpoint at the next epoch
+    # boundary and returns. `--resume_from auto` picks it back up.
+    # Installed first so a signal during setup/compile is not fatal.
+    import signal
+
+    preempt = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempt["flag"] = True
+        print("[train] SIGTERM — will checkpoint and stop at epoch end")
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        prev_handler = None  # not the main thread (e.g. a test harness)
+
     setup_cache(config)
     maybe_initialize()  # multi-host (no-op single-host; SURVEY.md §5.8)
     mesh = make_mesh(config.mesh_data, config.mesh_model)
@@ -155,7 +174,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             ("Underwater", "underwater", config.epochs_stage_2),
         ]
     rng = jax.random.PRNGKey(config.seed)
-    summary = {"stages": [], "steps": 0}
+    summary = {"stages": [], "steps": 0, "preempted": False}
     resumed = False
 
     for stage_name, domain, stage_epochs in stages:
@@ -199,12 +218,20 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             # Full-state resume: params + optimizer moments + step, so the
             # warmup-cosine schedule continues instead of restarting (the
             # reference loses optimizer state on resume, SURVEY.md §5.4).
-            state = restore_state(config.resume_from, state)
+            # "auto" → newest checkpoint in checkpoint_dir (post-preemption).
+            resume_path = config.resume_from
+            if resume_path == "auto":
+                resume_path = find_latest_checkpoint(config.checkpoint_dir)
+                if resume_path is None:
+                    raise FileNotFoundError(
+                        f"--resume_from auto: no ckpt_* directories under "
+                        f"{config.checkpoint_dir}")
+            state = restore_state(resume_path, state)
             # Orbax may restore leaves without the template's placement —
             # re-pin (no-op when shardings already match).
             state = shard_state(mesh, state, zero1=config.zero1)
             resumed = True
-            print(f"[train] resumed full state from {config.resume_from} "
+            print(f"[train] resumed full state from {resume_path} "
                   f"(step {int(state.step)})")
 
         last_metrics: dict = {}
@@ -259,18 +286,30 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 logger.alert("checkpoint", path)
             if max_steps and summary["steps"] >= max_steps:
                 break
+            if preempt["flag"]:
+                break
 
         params = state.params  # carry into the next stage
         wait_for_checkpoints()  # flush any in-flight async save
+        suffix = "_PREEMPT" if preempt["flag"] else "_final"
         path = save_checkpoint(config.checkpoint_dir, stage_epochs,
-                               f"{stage_name}_final", datasets_tag, state,
-                               metadata={"stage": stage_name})
+                               f"{stage_name}{suffix}", datasets_tag, state,
+                               metadata={"stage": stage_name,
+                                         "preempted": preempt["flag"]})
         summary["stages"].append(
             {"stage": stage_name, "last_loss": last_metrics.get("total"),
              "checkpoint": path})
+        if preempt["flag"]:
+            summary["preempted"] = True
+            logger.alert("preempted — resumable checkpoint saved", path)
+            break
         if max_steps and summary["steps"] >= max_steps:
             break
 
+    if prev_handler is not None:
+        import signal
+
+        signal.signal(signal.SIGTERM, prev_handler)
     logger.finish()
     summary["params"] = params
     return summary

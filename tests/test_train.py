@@ -436,3 +436,41 @@ def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         saved_head)
+
+
+def test_preemption_checkpoint_and_auto_resume(tmp_path):
+    """SIGTERM mid-train → graceful stop with a resumable checkpoint;
+    --resume_from auto continues from it."""
+    import os
+    import signal
+    import threading
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, epochs_stage_1=2000,
+                 epochs_stage_2=0, save_checkpoint=10_000, dino_weight=0.0,
+                 bf16=False, ms_ssim_weight=0.0, color_weight=0.0,
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 output_path=str(tmp_path / "out"))
+
+    # Fire SIGTERM shortly after training starts; the loop must stop at
+    # an epoch boundary long before 2000 epochs.
+    killer = threading.Timer(10.0, os.kill, (os.getpid(), signal.SIGTERM))
+    killer.start()
+    try:
+        summary = train(cfg)
+    finally:
+        killer.cancel()
+    assert summary["preempted"]
+    assert summary["steps"] < 2000
+    ckpt = summary["stages"][-1]["checkpoint"]
+    assert "_PREEMPT" in ckpt and os.path.isdir(ckpt)
+
+    # Auto-resume picks the newest checkpoint and continues the step count.
+    cfg2 = Config(**{**cfg.__dict__, "resume_from": "auto",
+                     "epochs_stage_1": 1})
+    summary2 = train(cfg2, max_steps=summary["steps"] + 2)
+    assert not summary2["preempted"]
