@@ -64,6 +64,13 @@ def build_config(tmp: str, args) -> "Config":
         # 1500 steps.)
         color_weight=args.color_weight,
         ms_ssim_weight=args.ms_ssim_weight,
+        # Joint (interleaved-domain) training with the *intended* routing
+        # semantics — alternating middle-block gradient freezes — destab-
+        # ilizes deeper configs (measured: loss 0.07→1.3 at 128² mult
+        # [1,2,2]; stable with routing off). The reference never hit this
+        # because its requires_grad routing is a no-op (SURVEY.md §2.9.11):
+        # its effective recipe is routing-off, which the demo mirrors.
+        domain_routing=args.domain_routing,
     )
 
 
@@ -97,6 +104,8 @@ def main() -> int:
     p.add_argument("--num_res_blocks", type=int, default=1)
     p.add_argument("--synthetic_length", type=int, default=0,
                    help="paired images per domain (default: batch*8)")
+    p.add_argument("--domain_routing", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--T", type=int, default=200)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--ddim_steps", type=int, default=50)

@@ -266,14 +266,15 @@ def test_evaluate_ragged_final_batch(tmp_path):
     from hybrid_diffusion_tpu.config import Config
     from hybrid_diffusion_tpu.train.loop import evaluate
 
-    cfg = Config(synthetic_data=True, synthetic_length=50, batch_size=8,
+    # Disjoint synthetic splits: val length = synthetic_length // 7.
+    cfg = Config(synthetic_data=True, synthetic_length=350, batch_size=8,
                  img_size=16, channel=32, channel_mult=(1, 2),
                  num_res_blocks=1, T=8, ddim=True, ddim_step=4, bf16=False,
                  dino_weight=0.0, output_path=str(tmp_path),
                  checkpoint_dir=str(tmp_path), num_workers=1,
                  compilation_cache="")
     res = evaluate(cfg, split="val", compute_fid=False, save_images=False)
-    # 50 images / batch 8 → 6 full + 1 ragged batch of 2 (padded to 8,
+    # 50 val images / batch 8 → 6 full + 1 ragged batch of 2 (padded to 8,
     # sliced back); all 50 real images scored
     assert res["underwater"]["n_images"] == 50
     assert np.isfinite(res["underwater"]["psnr"])
