@@ -62,6 +62,18 @@ def load_library(require: bool = False) -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.hdt_bgr_to_rgb_u8.argtypes = [u8p, ctypes.c_int64]
+        lib.hdt_decode_supported.restype = ctypes.c_int
+        lib.hdt_decode_info.restype = ctypes.c_int
+        lib.hdt_decode_info.argtypes = [
+            u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.hdt_decode_u8.restype = ctypes.c_int
+        lib.hdt_decode_u8.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int, ctypes.c_int]
+        lib.hdt_batch_decode_resize_u8.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return lib
 
@@ -144,3 +156,56 @@ def _numpy_resize(img: np.ndarray, oh: int, ow: int, mode: int) -> np.ndarray:
          + wy * (1 - wx) * f[y1c][:, x0c]
          + wy * wx * f[y1c][:, x1c])
     return (v + 0.5).astype(np.uint8)
+
+
+def decode_supported() -> bool:
+    """True when the native lib was built with libjpeg/libpng decode."""
+    lib = load_library()
+    return bool(lib is not None and getattr(lib, "hdt_decode_supported")())
+
+
+def decode_image(data: bytes) -> Optional[np.ndarray]:
+    """Decode JPEG/PNG bytes to RGB uint8 HWC via the native core.
+
+    Returns None when the native decoder is unavailable or the bytes are
+    not a decodable JPEG/PNG (callers fall back to cv2/PIL).
+    """
+    lib = load_library()
+    if lib is None or not lib.hdt_decode_supported():
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(0), ctypes.c_int(0)
+    if lib.hdt_decode_info(_as_u8p(buf), len(data),
+                           ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.hdt_decode_u8(_as_u8p(buf), len(data), _as_u8p(out),
+                         h.value, w.value) != 0:
+        return None
+    return out
+
+
+def batch_decode_resize(blobs: Sequence[bytes], size: tuple[int, int],
+                        mode: int = BILINEAR, threads: int = 0
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode N encoded JPEG/PNG blobs and resize into one contiguous
+    (N, out_h, out_w, 3) RGB batch — the whole file→tensor hot path in a
+    single native call, decode+resize fused per worker thread.
+
+    Returns (batch, ok) where ok[i] is False for undecodable blobs (their
+    slots are zeroed). Raises RuntimeError when native decode is absent.
+    """
+    lib = load_library()
+    if lib is None or not lib.hdt_decode_supported():
+        raise RuntimeError("native decode unavailable "
+                           "(libimage_pipe.so without libjpeg/libpng)")
+    oh, ow = size
+    n = len(blobs)
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    out = np.empty((n, oh, ow, 3), np.uint8)
+    rcs = (ctypes.c_int * n)()
+    srcs = (ctypes.POINTER(ctypes.c_uint8) * n)(*[_as_u8p(b) for b in bufs])
+    lens = (ctypes.c_int64 * n)(*[len(b) for b in blobs])
+    lib.hdt_batch_decode_resize_u8(srcs, lens, n, _as_u8p(out), oh, ow,
+                                   mode, threads, rcs)
+    return out, np.asarray([rcs[i] == 0 for i in range(n)])

@@ -179,7 +179,22 @@ def dataset_splits(
 
 
 def load_image(path: str) -> np.ndarray:
-    """Load an image file to RGB uint8 HWC (reference: utils.py:287-306)."""
+    """Load an image file to RGB uint8 HWC (reference: utils.py:287-306).
+
+    Fast path: the native C++ JPEG/PNG decoder (native/image_pipe.cpp,
+    libjpeg/libpng, no Python in the pixel loop); cv2 then PIL as
+    fallbacks for other formats or when the native lib isn't built.
+    """
+    from .native import decode_image
+
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        raise FileNotFoundError(f"cannot load image: {path}")
+    img = decode_image(data)
+    if img is not None:
+        return img
     try:
         import cv2
 
