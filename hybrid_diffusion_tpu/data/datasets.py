@@ -62,6 +62,40 @@ class PairedImageDataset:
             "name": self.input_paths[idx].rsplit("/", 1)[-1],
         }
 
+    def get_batch(self, indices) -> Optional[dict]:
+        """Fused native fast path (BatchLoader uses it when present): read
+        every file of the batch, then ONE C call decodes + resizes inputs
+        and gts into contiguous uint8 NHWC buffers
+        (native.batch_decode_resize — no per-image Python dispatch).
+
+        Returns None when the native decoder is unavailable or any blob
+        isn't JPEG/PNG; the caller falls back to per-item __getitem__.
+        """
+        from .native import BILINEAR, batch_decode_resize, decode_supported
+
+        if not decode_supported():
+            return None
+        paths = [self.input_paths[i] for i in indices]
+        gpaths = [self.gt_paths[i] for i in indices] if self.supervised else []
+        try:
+            blobs = []
+            for p in paths + gpaths:
+                with open(p, "rb") as f:
+                    blobs.append(f.read())
+        except OSError:
+            return None
+        batch, ok = batch_decode_resize(
+            blobs, (self.image_size, self.image_size), BILINEAR)
+        if not ok.all():
+            return None  # exotic format in the batch — per-item fallback
+        n = len(paths)
+        inp = batch[:n]
+        return {
+            "input": inp,
+            "gt": batch[n:] if self.supervised else inp,
+            "name": [p.rsplit("/", 1)[-1] for p in paths],
+        }
+
 
 class SyntheticPairedDataset:
     """Deterministic synthetic degraded/clean pairs for tests and benches.

@@ -85,6 +85,11 @@ class BatchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _assemble(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> dict:
+        get_batch = getattr(self.dataset, "get_batch", None)
+        if get_batch is not None:
+            out = get_batch(batch_idx)
+            if out is not None:  # fused native decode+resize path
+                return out
         items = list(pool.map(self.dataset.__getitem__, batch_idx))
         out: dict = {}
         for key, v0 in items[0].items():

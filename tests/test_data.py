@@ -136,3 +136,36 @@ def test_plot_batch_grid(tmp_path):
     out = plot_batch_grid(loader, num_images=6,
                           out_path=str(tmp_path / "preview.png"))
     assert out is not None and (tmp_path / "preview.png").stat().st_size > 0
+
+
+def test_paired_dataset_fused_batch_matches_per_item(tmp_path):
+    """get_batch (one native decode+resize call) == per-item __getitem__,
+    and BatchLoader transparently uses it."""
+    import cv2
+
+    from hybrid_diffusion_tpu.data.native import decode_supported
+    from hybrid_diffusion_tpu.data.pipeline import BatchLoader
+
+    if not decode_supported():
+        pytest.skip("native decode not built")
+    root = tmp_path / "HICRD"
+    for sub in ("Train/trainA_paired", "Train/trainB_paired"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        for sub in ("Train/trainA_paired", "Train/trainB_paired"):
+            cv2.imwrite(str(root / sub / f"{i}.png"),
+                        rng.randint(0, 255, (20, 30, 3), np.uint8))
+
+    ds = PairedImageDataset("HICRD", "train", str(tmp_path), image_size=16)
+    fused = ds.get_batch([0, 2, 3])
+    assert fused is not None
+    for j, idx in enumerate([0, 2, 3]):
+        item = ds[idx]
+        np.testing.assert_array_equal(fused["input"][j], item["input"])
+        np.testing.assert_array_equal(fused["gt"][j], item["gt"])
+        assert fused["name"][j] == item["name"]
+
+    batch = next(iter(BatchLoader(ds, 4, shuffle=False, drop_last=False)))
+    assert batch["input"].shape == (4, 16, 16, 3)
+    assert batch["gt"].dtype == np.uint8
