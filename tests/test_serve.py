@@ -85,3 +85,46 @@ def test_export_roundtrip(enhancer, tmp_path):
     live = np.asarray(enhancer._sample(jnp.asarray(batch), key))
     exported = np.asarray(call(jnp.asarray(batch), key))
     np.testing.assert_allclose(exported, live, atol=1e-5)
+
+
+def test_http_server_roundtrip(enhancer):
+    """POST an encoded image → enhanced PNG back; health/stats endpoints."""
+    import json as _json
+    import urllib.request
+
+    cv2 = pytest.importorskip("cv2")
+    from hybrid_diffusion_tpu.serve_http import serve
+
+    server = serve(enhancer, port=0, block=False)  # ephemeral port
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        img = np.random.RandomState(0).randint(
+            0, 255, (40, 56, 3), np.uint8)
+        body = cv2.imencode(".png", img[..., ::-1])[1].tobytes()
+        req = urllib.request.Request(f"{base}/enhance", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            out = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                               cv2.IMREAD_COLOR)
+        assert out.shape == (40, 56, 3)  # original size restored
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = _json.loads(r.read())
+        assert h["status"] == "ok" and h["requests"] == 1
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            s = _json.loads(r.read())
+        assert s["errors"] == 0 and s["mean_ms"] > 0
+
+        # Undecodable body → 400, not a crash.
+        req = urllib.request.Request(f"{base}/enhance", data=b"junk",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
