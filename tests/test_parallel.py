@@ -213,3 +213,40 @@ def test_zero1_optimizer_sharding(setup):
     mu2 = state.opt_state[1][0].mu["params"]["head"]["kernel"]
     assert mu2.sharding == mu.sharding
     assert state.ema_params["params"]["head"]["kernel"].sharding.spec != P()
+
+
+def test_zero1_checkpoint_roundtrip(setup, tmp_path):
+    """Orbax save/restore of a ZeRO-1-sharded train state preserves the
+    values and the restored state re-pins to the mesh placement."""
+    from hybrid_diffusion_tpu.parallel import state_shardings
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        restore_state,
+        save_checkpoint,
+    )
+
+    model, params, schedule = setup
+    mesh = make_mesh()
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    # Keep an unaliased copy: the donating step below deletes buffers that
+    # shard_params aliased from `params` (see shard_params docstring).
+    params_copy = jax.tree_util.tree_map(jnp.array, params)
+    state = create_train_state(shard_params(mesh, params), model.apply,
+                               total_epochs=10, steps_per_epoch=5)
+    state = shard_state(mesh, state, zero1=True)
+    step = make_sharded_train_step(mesh, make_train_step(
+        schedule, cfg, jit=False),
+        state_shardings=state_shardings(mesh, state, zero1=True))
+    state, _ = step(state, shard_batch(mesh, _batch()), jax.random.PRNGKey(0))
+
+    mu_before = np.asarray(state.opt_state[1][0].mu["params"]["head"]["kernel"])
+    path = save_checkpoint(str(tmp_path), 1, "Z1", "SYN", state)
+
+    fresh = create_train_state(shard_params(mesh, params_copy), model.apply,
+                               total_epochs=10, steps_per_epoch=5)
+    fresh = shard_state(mesh, fresh, zero1=True)
+    restored = restore_state(path, fresh)
+    restored = shard_state(mesh, restored, zero1=True)
+    mu = restored.opt_state[1][0].mu["params"]["head"]["kernel"]
+    np.testing.assert_allclose(np.asarray(mu), mu_before)
+    assert "data" in tuple(mu.sharding.spec)
+    assert int(restored.step) == 1
