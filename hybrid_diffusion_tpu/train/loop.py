@@ -256,9 +256,11 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             last_metrics = logger.log(metrics, step=int(state.step),
                                       prefix=f"Train {stage_name}/")
             sps = steps_per_epoch / max(time.time() - t_epoch, 1e-9)
+            gn = last_metrics.get("grad_norm")
             print(f"[{stage_name}] epoch {epoch+1}/{stage_epochs} "
                   f"loss={last_metrics.get('total', float('nan')):.4f} "
-                  f"{sps:.2f} steps/s")
+                  + (f"gnorm={float(gn):.2f} " if gn is not None else "")
+                  + f"{sps:.2f} steps/s")
             # Failure detection (SURVEY.md §5.3 — the reference has none):
             # a non-finite loss aborts the stage after an emergency save,
             # so a resumable state survives divergence. Checked per epoch
