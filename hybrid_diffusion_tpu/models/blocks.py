@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from ..ops.attention import fused_spatial_attention
 from ..ops.fast_conv import conv_transpose_5x5_s2, fused_dual_downsample
+from .torch_init import torch_bias_init, torch_kernel_init, xavier_uniform
 
 
 class SpatialSelfAttention(nn.Module):
@@ -50,7 +51,8 @@ class SpatialSelfAttention(nn.Module):
         assert C % self.num_heads == 0
         head_dim = C // self.num_heads
         tokens = x.reshape(B, H * W, C)
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="in_proj")(tokens)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="in_proj",
+                       kernel_init=xavier_uniform)(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
@@ -62,7 +64,8 @@ class SpatialSelfAttention(nn.Module):
         else:
             out = fused_spatial_attention(q, k, v, use_pallas=self.use_pallas)
         out = out.reshape(B, H * W, C)
-        out = nn.Dense(C, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="out_proj",
+                       kernel_init=torch_kernel_init)(out)
         return out.reshape(B, H, W, C)
 
 
@@ -95,29 +98,41 @@ class ResBlock(nn.Module):
             deterministic = (True if self.deterministic is None
                              else self.deterministic)
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, dtype=self.norm_dtype, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                         dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="conv1")(h)
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(in_ch * 9), name="conv1")(h)
 
-        t = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(
+        t = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj",
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.tdim))(
             nn.silu(temb.astype(self.dtype))
         )
         h = h + t[:, None, None, :]
         if cemb is not None:
-            c = nn.Dense(self.out_ch, dtype=self.dtype, name="cemb_proj")(
+            c = nn.Dense(self.out_ch, dtype=self.dtype, name="cemb_proj",
+                         kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(self.tdim))(
                 nn.silu(cemb.astype(self.dtype))
             )
             h = h + c[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=32, dtype=self.norm_dtype, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                         dtype=self.norm_dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(self.out_ch * 9),
                     name="conv2")(h)
 
         if in_ch != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="shortcut")(x)
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(in_ch),
+                        name="shortcut")(x)
         h = h + x
 
         if self.attn:
@@ -147,11 +162,10 @@ class DownSample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        init = nn.initializers.lecun_normal()
-        k3 = self.param("k3", init, (3, 3, ch, ch))
-        b3 = self.param("b3", nn.initializers.zeros, (ch,))
-        k5 = self.param("k5", init, (5, 5, ch, ch))
-        b5 = self.param("b5", nn.initializers.zeros, (ch,))
+        k3 = self.param("k3", torch_kernel_init, (3, 3, ch, ch))
+        b3 = self.param("b3", torch_bias_init(ch * 9), (ch,))
+        k5 = self.param("k5", torch_kernel_init, (5, 5, ch, ch))
+        b5 = self.param("b5", torch_bias_init(ch * 25), (ch,))
         if self.fast:
             return fused_dual_downsample(x, k3, b3, k5, b5)
         dn3 = jax.lax.conv_dimension_numbers(x.shape, k3.shape,
@@ -179,9 +193,8 @@ class UpSample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        kt = self.param("kt", nn.initializers.lecun_normal(),
-                        (5, 5, ch, ch))
-        bt = self.param("bt", nn.initializers.zeros, (ch,))
+        kt = self.param("kt", torch_kernel_init, (5, 5, ch, ch))
+        bt = self.param("bt", torch_bias_init(ch * 25), (ch,))
         if self.fast:
             x = conv_transpose_5x5_s2(x, kt) + bt.astype(x.dtype)
         else:
@@ -189,5 +202,7 @@ class UpSample(nn.Module):
                 x, kt.astype(x.dtype), strides=(2, 2), padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).astype(x.dtype) + bt.astype(x.dtype)
-        x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name="c")(x)
+        x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(ch * 9), name="c")(x)
         return x

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from .blocks import DownSample, ResBlock, UpSample
 from .embeddings import LabelEmbedding, TimeEmbedding
+from .unet import tail_init, xavier_uniform
 
 
 class CFGUNet(nn.Module):
@@ -63,6 +64,7 @@ class CFGUNet(nn.Module):
         blk_attn = self.attn_everywhere
 
         h = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=xavier_uniform,
                     name="head")(x.astype(self.dtype))
         hs = [h]
 
@@ -94,7 +96,8 @@ class CFGUNet(nn.Module):
                 h = UpSample(dtype=self.dtype, name=f"upsample_{i}")(h)
         assert not hs  # classic topology consumes every skip
 
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="tail_norm")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                         name="tail_norm")(h)
         h = nn.silu(h)
         return nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.float32,
-                       name="tail_conv")(h)
+                       kernel_init=tail_init, name="tail_conv")(h)

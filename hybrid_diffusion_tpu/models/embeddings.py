@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .torch_init import torch_bias_init, torch_kernel_init
+
 
 def sinusoidal_table(T: int, d_model: int) -> np.ndarray:
     """Interleaved sin/cos position table of shape (T, d_model).
@@ -51,9 +53,13 @@ class TimeEmbedding(nn.Module):
             (self.T, self.d_model),
         )
         emb = jnp.take(table, t, axis=0).astype(self.dtype)
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense1")(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense1",
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.d_model))(emb)
         emb = nn.silu(emb)
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense2",
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.dim))(emb)
         return emb
 
 
@@ -74,15 +80,22 @@ class ImageConditionEmbedding(nn.Module):
         ch = self.d_model // 16
         x = image.astype(self.dtype)
         x = nn.Conv(ch, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
-                    name="conv1")(x)
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(3 * 9), name="conv1")(x)
         x = nn.Conv(ch * 2, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
-                    name="conv2")(x)
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(ch * 9), name="conv2")(x)
         x = nn.Conv(ch * 4, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
-                    name="conv3")(x)
+                    kernel_init=torch_kernel_init,
+                    bias_init=torch_bias_init(ch * 2 * 9), name="conv3")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool (NHWC)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="dense1")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="dense1",
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(ch * 4))(x)
         x = nn.silu(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="dense2",
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.dim))(x)
         return x
 
 
@@ -105,7 +118,11 @@ class LabelEmbedding(nn.Module):
         # padding_idx=0: the null-label row is pinned to zero.
         table = table.at[0].set(0.0)
         emb = jnp.take(table, labels, axis=0).astype(self.dtype)
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense1")(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense1",
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.d_model))(emb)
         emb = nn.silu(emb)
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(emb)
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="dense2",
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.dim))(emb)
         return emb

@@ -155,7 +155,7 @@ class DynamicUNet(nn.Module):
         # reference leaves 2·num_res_blocks unused entries at the first level
         # plus the head — intentional parity (Model.py:513-515).
 
-        h = nn.GroupNorm(num_groups=32, dtype=self.norm_dtype,
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.norm_dtype,
                          name="tail_norm")(h)
         h = nn.silu(h).astype(self.dtype)
         out = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.float32,
