@@ -203,3 +203,37 @@ def test_remat_forward_matches_and_grads_flow():
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_torch_default_init_statistics():
+    """Init parity is load-bearing (PARITY.md stability root cause): block
+    convs/denses must follow torch's kaiming_uniform(a=√5) — std
+    1/√(3·fan_in), bias U(±1/√fan_in) — with xavier only at head/tail."""
+    import numpy as np
+
+    from hybrid_diffusion_tpu.models import DynamicUNet
+
+    model = DynamicUNet(T=8, ch=64, ch_mult=(1, 2), num_res_blocks=1,
+                        dropout=0.0)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 6)),
+                        jnp.zeros(1, jnp.int32))["params"]
+
+    def check(leaf, fan_in, what):
+        std = float(jnp.std(leaf))
+        expect = 1.0 / np.sqrt(3 * fan_in)
+        assert abs(std - expect) / expect < 0.15, (what, std, expect)
+
+    check(params["down_0_0"]["conv1"]["kernel"], 64 * 9, "conv1")
+    check(params["down_0_0"]["conv2"]["kernel"], 64 * 9, "conv2")
+    check(params["middle_0"]["attn"]["out_proj"]["kernel"], 128, "out_proj")
+    check(params["downsample_0"]["k5"], 64 * 25, "k5")
+    # Biases are U(±1/√fan_in), nonzero (torch default), within bound.
+    b = params["down_0_0"]["conv1"]["bias"]
+    assert float(jnp.abs(b).max()) <= 1 / np.sqrt(64 * 9) + 1e-6
+    assert float(jnp.abs(b).sum()) > 0
+    # MHA in_proj is xavier over (C, 3C): std² = 2/(C+3C).
+    k = params["middle_0"]["attn"]["in_proj"]["kernel"]
+    xavier_std = np.sqrt(2.0 / (128 + 384))
+    assert abs(float(jnp.std(k)) - xavier_std) / xavier_std < 0.15
+    # Tail stays at the reference's 1e-5-gain xavier (≈0).
+    assert float(jnp.abs(params["tail_conv"]["kernel"]).max()) < 1e-4
