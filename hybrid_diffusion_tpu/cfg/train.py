@@ -171,7 +171,8 @@ def train_cfg(config: CFGConfig, max_steps: Optional[int] = None) -> dict:
         steps_per_epoch=max(len(loader), 1), multiplier=config.multiplier,
     )
     step_fn = make_cfg_train_step(schedule, config.p_uncond,
-                                  config.unconditional)
+                                  config.unconditional,
+                                  sum_div_b2=config.sum_div_b2)
 
     rng = jax.random.PRNGKey(config.seed)
     summary = {"steps": 0, "losses": []}

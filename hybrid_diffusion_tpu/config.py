@@ -71,7 +71,18 @@ class Config:
     color_weight: float = 1.0
     charbonnier_weight: float = 0.0
     vgg_weight: float = 0.0
+    vgg_model: str = "vgg16"                  # backbone for the vgg term
     aux_snr_weight: bool = False              # SNR-weight x0-based aux losses
+    # Per-stage loss weight overrides, "name=weight,..." (names: mse, dino,
+    # ms_ssim, color, charbonnier, vgg). The reference run-book trains
+    # stage 1 as "Pre-Training VGG+Charbonnier" and stage 2 as "Enhancement
+    # Training (Charbonnier+Angular Color Loss+MS_SSIM)" (aplicacao.ipynb,
+    # SURVEY.md §C14) — different loss sets per stage, e.g.
+    #   --stage1_losses "vgg=1.0,charbonnier=1.0,dino=0,ms_ssim=0,color=0"
+    #   --stage2_losses "charbonnier=1.0,color=1.0,ms_ssim=0.0045,dino=0"
+    # Empty string → the shared weights above. Joint mode uses stage1_losses.
+    stage1_losses: str = ""
+    stage2_losses: str = ""
     use_conditioning: bool = False            # live cemb path + CFG dropout
     p_uncond: float = 0.02
     domain_routing: bool = True
@@ -84,6 +95,11 @@ class Config:
     # observability (Main.py:49-50)
     wandb: bool = False
     wandb_name: str = "HybridDiffusion_TPU"
+    # >0: also log the per-term loss dict every N optimizer steps (the
+    # reference logs every batch, rotinas.py:479-485; per-step here would
+    # force a device sync each step, so cadence is configurable).
+    # 0 = per-epoch only.
+    log_every: int = 0
     # TPU execution
     bf16: bool = True
     use_pallas_attention: bool = False
@@ -113,6 +129,40 @@ class Config:
             vgg_weight=self.vgg_weight,
             aux_snr_weight=self.aux_snr_weight,
         )
+
+    def stage_loss_config(self, stage_index: int):
+        """Loss weights for stage `stage_index` (0-based): the shared
+        weights overlaid with that stage's --stageN_losses overrides."""
+        base = self.loss_config
+        spec = (self.stage1_losses, self.stage2_losses)[min(stage_index, 1)]
+        if not spec:
+            return base
+        return dataclasses.replace(base, **{
+            f"{name}_weight": w
+            for name, w in parse_loss_overrides(spec).items()})
+
+
+_LOSS_NAMES = ("mse", "dino", "ms_ssim", "color", "charbonnier", "vgg")
+
+
+def parse_loss_overrides(spec: str) -> dict:
+    """Parse 'name=weight,name=weight' into {name: float}.
+
+    Valid names: mse, dino, ms_ssim, color, charbonnier, vgg.
+    """
+    out = {}
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        name, sep, value = item.partition("=")
+        name = name.strip()
+        if not sep or name not in _LOSS_NAMES:
+            raise ValueError(
+                f"bad loss override {item!r}: expected name=weight with "
+                f"name in {_LOSS_NAMES}")
+        out[name] = float(value)
+    return out
 
 
 def _add_bool_flag(parser, name: str, default: bool, help_: str = ""):

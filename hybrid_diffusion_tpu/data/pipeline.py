@@ -35,7 +35,11 @@ def shard_for_host(
         process_count = jax.process_count()
     per = len(indices) // process_count
     if per == 0:
-        return indices
+        # Silently giving every host the full index set would duplicate
+        # each example process_count× — fail loudly instead.
+        raise ValueError(
+            f"shard_for_host: {len(indices)} example(s) cannot be sharded "
+            f"over {process_count} hosts (need at least one per host)")
     return indices[process_index * per : (process_index + 1) * per]
 
 

@@ -223,3 +223,16 @@ def resize_image(img: np.ndarray, size: int) -> np.ndarray:
     import cv2
 
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+
+
+def resize_image_wh(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Resize HWC uint8 to (height, width) — non-square variant of
+    resize_image (serving's ?size=WxH output override)."""
+    from .native import BILINEAR, native_available
+    from .native import resize as native_resize
+
+    if native_available():
+        return native_resize(img, (height, width), BILINEAR)
+    import cv2
+
+    return cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)

@@ -116,9 +116,16 @@ def _interpolate_pos_embed(pos: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
     n_patches = pos.shape[1] - 1
     side = int(round(n_patches**0.5))
     cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
-    if side * side != n_patches or (side == gh and side == gw):
+    if side == gh and side == gw:
+        return pos
+    if side * side != n_patches:
+        # A non-square stored table can only be used verbatim; resizing it
+        # would need an unknown (h, w) factorization.
         if n_patches == gh * gw:
             return pos
+        raise ValueError(
+            f"pos_embed has {n_patches} patch positions (not a square grid) "
+            f"and cannot be resized to {gh}x{gw}")
     grid = grid_pos.reshape(1, side, side, -1)
     grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), method="cubic")
     return jnp.concatenate([cls_pos, grid.reshape(1, gh * gw, -1)], axis=1)
@@ -201,6 +208,12 @@ VGG_DEFAULT_TAPS: dict[str, list[int]] = {
     "vgg13": [3, 8, 15, 22],
     "vgg16": [3, 8, 15, 22],
     "vgg19": [3, 8, 17, 26, 35],
+    # Non-VGG members of the reference's selectable list
+    # (Loss/loss.py:180-183, 193-204). Slots address the torchvision
+    # features Sequential: a SqueezeNet Fire module is ONE slot; alex's
+    # taps land on pre-ReLU conv outputs (reproduced exactly).
+    "squeeze": [3, 7, 12],
+    "alex": [3, 6, 8, 10, 12],
 }
 
 
@@ -260,12 +273,130 @@ class _VGGFeatures(nn.Module):
         return feats
 
 
-class VGGPerceptualLoss:
-    """Frozen VGG feature-matching loss (L1, summed over tap layers).
+class _AlexFeatures(nn.Module):
+    """torchvision alexnet.features with tapped slot outputs.
 
-    model: one of vgg11/13/16/19 (+ '_bn' suffix) — the reference's
-    selectable backbones (Loss/loss.py:159-204); 'squeeze'/'alex' are not
-    supported in this build (raise with the valid list).
+    Slots (Sequential indices): 0 Conv(64,11,s4,p2) 1 ReLU 2 MaxPool(3,2)
+    3 Conv(192,5,p2) 4 ReLU 5 MaxPool 6 Conv(384,3,p1) 7 ReLU
+    8 Conv(256,3,p1) 9 ReLU 10 Conv(256,3,p1) 11 ReLU 12 MaxPool.
+    """
+
+    taps: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        taps = set(self.taps)
+        feats: list[jnp.ndarray] = []
+        idx = 0
+
+        def emit(y):
+            nonlocal idx
+            if idx in taps:
+                feats.append(y)
+            idx += 1
+
+        convs = [(64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
+                 (256, 3, 1, 1), (256, 3, 1, 1)]
+        pools_after = {0, 1, 4}  # maxpool follows convs 0, 1 and 4
+        for ci, (ch, k, s, p) in enumerate(convs):
+            x = nn.Conv(ch, (k, k), strides=s, padding=((p, p), (p, p)),
+                        dtype=self.dtype, name=f"conv_{ci}")(x)
+            emit(x)
+            x = nn.relu(x)
+            emit(x)
+            if ci in pools_after:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2))
+                emit(x)
+        return feats
+
+
+class _Fire(nn.Module):
+    """SqueezeNet Fire: 1×1 squeeze+ReLU → (1×1, 3×3) expands+ReLU, concat."""
+
+    squeeze_ch: int
+    expand_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = nn.relu(nn.Conv(self.squeeze_ch, (1, 1), dtype=self.dtype,
+                            name="squeeze")(x))
+        e1 = nn.Conv(self.expand_ch, (1, 1), dtype=self.dtype,
+                     name="expand1x1")(s)
+        e3 = nn.Conv(self.expand_ch, (3, 3), padding="SAME",
+                     dtype=self.dtype, name="expand3x3")(s)
+        return jnp.concatenate([nn.relu(e1), nn.relu(e3)], axis=-1)
+
+
+def _max_pool_ceil(x: jnp.ndarray, k: int = 3, s: int = 2) -> jnp.ndarray:
+    """MaxPool(k, s, ceil_mode=True) — torch's SqueezeNet pools; pads
+    right/bottom with -inf so the last partial window is kept."""
+    h, w = x.shape[1], x.shape[2]
+
+    def pad_amount(n):
+        out = -(-(n - k) // s) + 1  # ceil((n-k)/s) + 1
+        return max((out - 1) * s + k - n, 0)
+
+    ph, pw = pad_amount(h), pad_amount(w)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (k, k), strides=(s, s))
+
+
+class _SqueezeFeatures(nn.Module):
+    """torchvision squeezenet1_1.features with tapped slot outputs.
+
+    Slots: 0 Conv(64,3,s2) 1 ReLU 2 MaxPool(3,2,ceil) 3-4 Fire(16,64)
+    5 MaxPool 6-7 Fire(32,128) 8 MaxPool 9-10 Fire(48,192)
+    11-12 Fire(64,256). A Fire module is one slot (reference taps [3,7,12]
+    are Fire outputs, Loss/loss.py:194).
+    """
+
+    taps: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        taps = set(self.taps)
+        feats: list[jnp.ndarray] = []
+        idx = 0
+
+        def emit(y):
+            nonlocal idx
+            if idx in taps:
+                feats.append(y)
+            idx += 1
+
+        x = nn.Conv(64, (3, 3), strides=2, padding="VALID",
+                    dtype=self.dtype, name="conv_0")(x)
+        emit(x)
+        x = nn.relu(x)
+        emit(x)
+        x = _max_pool_ceil(x)
+        emit(x)
+        fire_cfg = [(16, 64), (16, 64), None, (32, 128), (32, 128), None,
+                    (48, 192), (48, 192), (64, 256), (64, 256)]
+        fi = 0
+        for cfg in fire_cfg:
+            if cfg is None:
+                x = _max_pool_ceil(x)
+                emit(x)
+            else:
+                x = _Fire(cfg[0], cfg[1], dtype=self.dtype,
+                          name=f"fire_{fi}")(x)
+                emit(x)
+                fi += 1
+        return feats
+
+
+class VGGPerceptualLoss:
+    """Frozen feature-matching loss (L1, summed over tap layers).
+
+    model: one of vgg11/13/16/19 (+ '_bn' suffix), 'squeeze'
+    (SqueezeNet 1.1) or 'alex' (AlexNet) — the reference's full selectable
+    backbone list (Loss/loss.py:159-204).
     layer_indices overrides the default taps, like the reference ctor.
     """
 
@@ -278,15 +409,22 @@ class VGGPerceptualLoss:
         layer_indices: Optional[Sequence[int]] = None,
     ):
         base = model[:-3] if model.endswith("_bn") else model
-        if base not in VGG_CFGS:
+        valid = (sorted(VGG_CFGS) + [k + "_bn" for k in sorted(VGG_CFGS)]
+                 + ["squeeze", "alex"])
+        taps = tuple(layer_indices if layer_indices is not None
+                     else VGG_DEFAULT_TAPS.get(base, ()))
+        if base in VGG_CFGS:
+            self.model = _VGGFeatures(cfg=tuple(VGG_CFGS[base]), taps=taps,
+                                      batch_norm=model.endswith("_bn"),
+                                      dtype=dtype)
+        elif model == "alex":
+            self.model = _AlexFeatures(taps=taps, dtype=dtype)
+        elif model == "squeeze":
+            self.model = _SqueezeFeatures(taps=taps, dtype=dtype)
+        else:
             raise ValueError(
                 f"Unsupported perceptual model {model!r}. Choose from "
-                f"{sorted(VGG_CFGS) + [k + '_bn' for k in sorted(VGG_CFGS)]}")
-        taps = tuple(layer_indices if layer_indices is not None
-                     else VGG_DEFAULT_TAPS[base])
-        self.model = _VGGFeatures(cfg=tuple(VGG_CFGS[base]), taps=taps,
-                                  batch_norm=model.endswith("_bn"),
-                                  dtype=dtype)
+                f"{valid}")
         self.name = f"VGGPerceptualLoss_{model}"
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.params = jax.jit(self.model.init)(rng, jnp.zeros((1, 64, 64, 3)))

@@ -6,9 +6,10 @@ UIQM/UCIQE/UISM + PSNR/SSIM per image with per-image exception shielding
 (metrics.py:632-645), and print folder averages.
 
 Divergences from the reference (recorded):
-  - files are paired by *sorted filename*, not by raw `os.listdir` zip
-    order (metrics.py:620-626 pairs OS-enumeration order — nondeterministic
-    across filesystems);
+  - files are paired by *filename stem intersection*, not by raw
+    `os.listdir` zip order (metrics.py:620-626 pairs OS-enumeration order —
+    nondeterministic, and one extra/missing file misaligns every pair
+    after it); unmatched files are reported, never silently dropped;
   - paths come from argv instead of a hardcoded list (metrics.py:611-614);
   - the report file the reference left commented out (metrics.py:662-666)
     is available via --report.
@@ -44,9 +45,21 @@ def evaluate_folders(result_path: str, gt_path: str) -> dict:
 
     result_files = _list_images(result_path)
     gt_files = _list_images(gt_path)
+    # Pair by filename stem (extension-insensitive: result.png vs gt.jpg
+    # still match). Positional zip of two sorted listings would misalign
+    # every pair after one extra/missing file.
+    res_by_stem = {os.path.splitext(f)[0]: f for f in result_files}
+    gt_by_stem = {os.path.splitext(f)[0]: f for f in gt_files}
+    stems = sorted(set(res_by_stem) & set(gt_by_stem))
+    unmatched = (set(res_by_stem) | set(gt_by_stem)) - set(stems)
+    if unmatched:
+        print(f"warning: {len(unmatched)} file(s) without a partner "
+              f"skipped: {sorted(unmatched)[:5]}"
+              + (" ..." if len(unmatched) > 5 else ""))
+    pairs = [(res_by_stem[s], gt_by_stem[s]) for s in stems]
     sums = dict(uiqm=0.0, uciqe=0.0, uism=0.0, psnr=0.0, ssim=0.0)
     n = 0
-    for res_name, gt_name in zip(result_files, gt_files):
+    for res_name, gt_name in pairs:
         try:
             corrected = load_image(os.path.join(result_path, res_name))
             gt_image = load_image(os.path.join(gt_path, gt_name))
@@ -84,7 +97,7 @@ def main(argv=None) -> int:
         description=__doc__.split("\n\n")[0])
     p.add_argument("result_path", help="folder of enhanced/result images")
     p.add_argument("gt_path", help="folder of ground-truth images "
-                   "(paired by sorted filename)")
+                   "(paired by filename stem)")
     p.add_argument("--report", default=None,
                    help="append the averages line to this text file")
     args = p.parse_args(argv)

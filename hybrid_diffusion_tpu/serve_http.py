@@ -76,8 +76,20 @@ class EnhancerServer(ThreadingHTTPServer):
     def __init__(self, addr, enhancer):
         self.enhancer = enhancer
         self.device_lock = threading.Lock()  # one chip, one sampler
+        self.stats_lock = threading.Lock()   # handler threads mutate stats
         self.stats = {"requests": 0, "errors": 0, "total_ms": 0.0}
         super().__init__(addr, _Handler)
+
+    def bump(self, *, errors: int = 0, requests: int = 0,
+             total_ms: float = 0.0) -> None:
+        with self.stats_lock:
+            self.stats["errors"] += errors
+            self.stats["requests"] += requests
+            self.stats["total_ms"] += total_ms
+
+    def snapshot(self) -> dict:
+        with self.stats_lock:
+            return dict(self.stats)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -97,7 +109,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(code, json.dumps(obj).encode(), "application/json")
 
     def do_GET(self):
-        s = self.server.stats
+        s = self.server.snapshot()
         if self.path.startswith("/healthz"):
             self._json(200, {"status": "ok", "requests": s["requests"]})
         elif self.path.startswith("/stats"):
@@ -111,23 +123,47 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": "unknown path"})
 
+    def _parse_size(self) -> Optional[tuple]:
+        """?size=WxH → (W, H), None when absent; raises ValueError on junk."""
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query).get("size")
+        if not q:
+            return None
+        w, _, h = q[0].lower().partition("x")
+        size = (int(w), int(h))
+        if size[0] <= 0 or size[1] <= 0:
+            raise ValueError(q[0])
+        return size
+
     def do_POST(self):
         if not self.path.startswith("/enhance"):
             self._json(404, {"error": "unknown path"})
+            return
+        try:
+            size = self._parse_size()
+        except ValueError:
+            self.server.bump(errors=1)
+            self._json(400, {"error": "bad size= parameter (want WxH)"})
             return
         n = int(self.headers.get("Content-Length", 0))
         data = self.rfile.read(n)
         img = _decode_any(data)
         if img is None:
-            self.server.stats["errors"] += 1
+            self.server.bump(errors=1)
             self._json(400, {"error": "undecodable image"})
             return
         t0 = time.time()
         with self.server.device_lock:
             out = self.server.enhancer.enhance([img])[0]
         ms = (time.time() - t0) * 1000
-        self.server.stats["requests"] += 1
-        self.server.stats["total_ms"] += ms
+        if size is not None and (out.shape[1], out.shape[0]) != size:
+            # Output-size override: host-side resize of the enhanced image
+            # (the model's compiled resolution stays fixed — serving rule).
+            from .data.registry import resize_image_wh
+
+            out = resize_image_wh(out, size[0], size[1])
+        self.server.bump(requests=1, total_ms=ms)
         self._reply(200, _encode_png(out), "image/png")
 
 

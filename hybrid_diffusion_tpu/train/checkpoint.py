@@ -84,6 +84,7 @@ def save_checkpoint(
         _ASYNC["pending"].append((path, meta))
         return path
 
+    wait_for_checkpoints()  # flush any pending async save + its metadata
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -93,15 +94,29 @@ def save_checkpoint(
 
 
 def checkpoint_has_ema(path: str) -> bool:
-    meta_file = os.path.join(os.path.abspath(path), "hdt_metadata.json")
-    if not os.path.isfile(meta_file):
-        return False
-    import json
+    """True when the checkpoint holds an `ema_params` subtree.
 
+    Prefers the hdt_metadata.json sidecar, but falls back to probing the
+    orbax-saved tree structure: an async save that was hard-killed (or
+    aborted by the NaN-guard RuntimeError) commits the arrays without the
+    sidecar, and restore must still see the right structure.
+    """
+    path = os.path.abspath(path)
+    meta_file = os.path.join(path, "hdt_metadata.json")
+    if os.path.isfile(meta_file):
+        import json
+
+        try:
+            with open(meta_file) as f:
+                return bool(json.load(f).get("has_ema"))
+        except (OSError, ValueError):
+            pass
     try:
-        with open(meta_file) as f:
-            return bool(json.load(f).get("has_ema"))
-    except (OSError, ValueError):
+        md = ocp.StandardCheckpointer().metadata(path)
+        keys = md.keys() if hasattr(md, "keys") else getattr(
+            md, "item_metadata", {})
+        return "ema_params" in keys
+    except Exception:
         return False
 
 
@@ -150,25 +165,41 @@ def restore_state(path: str, state: Any) -> Any:
     )
 
 
+def _is_committed_checkpoint(path: str) -> bool:
+    """Exclude orbax in-flight temp dirs (ckpt_*.orbax-checkpoint-tmp-*):
+    after an unclean kill mid-save the newest glob hit can be a partial,
+    uncommitted checkpoint that restore would choke on."""
+    if not os.path.isdir(path):
+        return False
+    if ".orbax-checkpoint-tmp" in os.path.basename(path):
+        return False
+    try:
+        if ocp.utils.is_tmp_checkpoint(path):
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def find_latest_checkpoint(directory: str) -> Optional[str]:
-    """Newest ckpt_* directory under `directory` (auto-resume after a
-    preemption: `--resume_from auto`)."""
+    """Newest *committed* ckpt_* directory under `directory` (auto-resume
+    after a preemption: `--resume_from auto`)."""
     import glob as _glob
 
     pattern = os.path.join(os.path.abspath(directory), "ckpt_*")
-    hits = [p for p in _glob.glob(pattern) if os.path.isdir(p)]
+    hits = [p for p in _glob.glob(pattern) if _is_committed_checkpoint(p)]
     return max(hits, key=os.path.getmtime) if hits else None
 
 
 def find_checkpoint(directory: str, epoch: int) -> Optional[str]:
     """Locate a checkpoint by epoch number (the reference's eval flows
     select checkpoints via their name-encoded epoch, rotinas.py:859,
-    aplicacao.ipynb). Returns the newest `ckpt_{epoch}_*` directory under
-    `directory`, or None."""
+    aplicacao.ipynb). Returns the newest committed `ckpt_{epoch}_*`
+    directory under `directory`, or None."""
     import glob as _glob
 
     pattern = os.path.join(os.path.abspath(directory), f"ckpt_{epoch}_*")
-    hits = [p for p in _glob.glob(pattern) if os.path.isdir(p)]
+    hits = [p for p in _glob.glob(pattern) if _is_committed_checkpoint(p)]
     if not hits:
         return None
     return max(hits, key=os.path.getmtime)

@@ -111,13 +111,24 @@ def _loader(config: Config, domain: str, task: str,
                        shard_hosts=jax.process_count() > 1)
 
 
-def _make_dino(config: Config):
-    if config.dino_weight == 0:
+def _make_dino(config: Config, stage_cfgs) -> Optional[object]:
+    if not any(c.dino_weight for c in stage_cfgs):
         return None
     from ..losses import DinoPerceptualLoss
 
     return DinoPerceptualLoss(
         jax.random.PRNGKey(1), image_size=config.img_size,
+        dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+    )
+
+
+def _make_vgg(config: Config, stage_cfgs) -> Optional[object]:
+    if not any(c.vgg_weight for c in stage_cfgs):
+        return None
+    from ..losses import VGGPerceptualLoss
+
+    return VGGPerceptualLoss(
+        jax.random.PRNGKey(2), model=config.vgg_model,
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
     )
 
@@ -150,17 +161,6 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
     logger = MetricsLogger(config.wandb, project=config.wandb_name,
                            config=config.__dict__)
-    dino = _make_dino(config)
-
-    raw_step = make_train_step(
-        schedule, config.loss_config, dino_loss_fn=dino,
-        use_conditioning=config.use_conditioning, p_uncond=config.p_uncond,
-        domain_routing=config.domain_routing, jit=False,
-    )
-    # With ZeRO-1 the step's in/out shardings are pinned from the first
-    # stage's state (same treedef/shapes every stage — one compile).
-    step_fn = (None if config.zero1
-               else make_sharded_train_step(mesh, raw_step))
 
     datasets_tag = f"{config.underwater_data_name}{config.atmospheric_data_name}"
     if config.joint_training:
@@ -173,11 +173,45 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             ("Atmospheric", "atmospheric", config.epochs_stage_1),
             ("Underwater", "underwater", config.epochs_stage_2),
         ]
+    # Per-stage loss weight sets (the reference run-book's two-stage recipe,
+    # aplicacao.ipynb: "Pre-Training VGG+Charbonnier" then "Enhancement
+    # Training (Charbonnier+Angular Color Loss+MS_SSIM)"). Extractors are
+    # built once, shared across stages that use them; a stage whose weights
+    # differ from the previous one compiles its own step (at most one
+    # compile per distinct weight set).
+    stage_cfgs = [config.stage_loss_config(i) for i in range(len(stages))]
+    dino = _make_dino(config, stage_cfgs)
+    vgg = _make_vgg(config, stage_cfgs)
+    step_cache: dict = {}
+
+    def stage_step_fn(loss_cfg, state):
+        if loss_cfg in step_cache:
+            return step_cache[loss_cfg]
+        raw = make_train_step(
+            schedule, loss_cfg,
+            dino_loss_fn=dino if loss_cfg.dino_weight else None,
+            vgg_loss_fn=vgg if loss_cfg.vgg_weight else None,
+            use_conditioning=config.use_conditioning,
+            p_uncond=config.p_uncond,
+            domain_routing=config.domain_routing, jit=False,
+        )
+        if config.zero1:
+            from ..parallel import state_shardings
+
+            fn = make_sharded_train_step(
+                mesh, raw,
+                state_shardings=state_shardings(mesh, state,
+                                                zero1=True))
+        else:
+            fn = make_sharded_train_step(mesh, raw)
+        step_cache[loss_cfg] = fn
+        return fn
+
     rng = jax.random.PRNGKey(config.seed)
     summary = {"stages": [], "steps": 0, "preempted": False}
     resumed = False
 
-    for stage_name, domain, stage_epochs in stages:
+    for stage_index, (stage_name, domain, stage_epochs) in enumerate(stages):
         if stage_epochs <= 0:
             continue
         # A ragged final batch cannot shard over the data axis (and would
@@ -207,13 +241,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             ema_decay=config.ema_decay, grad_accum=config.grad_accum,
         )
         state = shard_state(mesh, state, zero1=config.zero1)
-        if step_fn is None:
-            from ..parallel import state_shardings
-
-            step_fn = make_sharded_train_step(
-                mesh, raw_step,
-                state_shardings=state_shardings(mesh, state,
-                                                zero1=config.zero1))
+        step_fn = stage_step_fn(stage_cfgs[stage_index], state)
         if config.resume_from and not resumed:
             # Full-state resume: params + optimizer moments + step, so the
             # warmup-cosine schedule continues instead of restarting (the
@@ -251,6 +279,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, arrays, sub)
                 summary["steps"] += 1
+                if (config.log_every
+                        and summary["steps"] % config.log_every == 0):
+                    # Per-N-steps per-term logging (reference logs every
+                    # batch, rotinas.py:479-485); fetching the metric dict
+                    # syncs the device, hence the cadence knob.
+                    logger.log(metrics, step=int(state.step),
+                               prefix=f"Train {stage_name}/")
                 if max_steps and summary["steps"] >= max_steps:
                     break
             last_metrics = logger.log(metrics, step=int(state.step),

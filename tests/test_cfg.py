@@ -165,3 +165,16 @@ def test_train_cfg_unconditional_mode(tmp_path):
     summary = train_cfg(cfg, max_steps=1)
     imgs = evaluate_cfg(cfg, params=summary["params"], save_png=False)
     assert imgs.shape == (10 * cfg.nrow, 16, 16, 3)
+
+
+def test_sum_div_b2_plumbed_through_config(tmp_path):
+    """CFGConfig(sum_div_b2=True) must reach the train step: one step with
+    the flag produces the reference's sum/b² loss = mean-MSE × (3·H·W/B)
+    (TrainCondition.py:59), i.e. exactly 3·16²/8 = 96× the mean loss here."""
+    base = dict(save_dir=str(tmp_path / "c"),
+                sampled_dir=str(tmp_path / "s"))
+    mean_loss = train_cfg(tiny_config(**base), max_steps=1)["losses"][0]
+    scaled = train_cfg(tiny_config(sum_div_b2=True, **base),
+                       max_steps=1)["losses"][0]
+    expected = 3 * 16 * 16 / 8
+    assert abs(scaled / mean_loss - expected) / expected < 1e-4

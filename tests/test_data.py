@@ -116,6 +116,10 @@ def test_shard_for_host():
     s3 = shard_for_host(idx, 3, 4)
     assert len(s0) == len(s3) == 25
     assert s0[0] == 0 and s3[0] == 75
+    # Fewer examples than hosts: raise instead of silently duplicating the
+    # full index set on every host.
+    with pytest.raises(ValueError):
+        shard_for_host(np.arange(3), 0, 4)
 
 
 def test_interleave_round_robin():

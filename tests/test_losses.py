@@ -175,8 +175,22 @@ def test_vgg_variants_tap_semantics():
     assert len(fbn) == 4 and all(np.isfinite(np.asarray(f)).all()
                                  for f in fbn)
 
+    # squeeze/alex complete the reference's selectable list
+    # (Loss/loss.py:180-183). squeeze taps [3,7,12] are Fire-module
+    # outputs (one Sequential slot per Fire); alex taps [3,6,8,10,12]
+    # land on pre-ReLU conv outputs and the final pool.
+    sq = VGGPerceptualLoss(jax.random.PRNGKey(0), model="squeeze")
+    fsq = sq.model.apply(sq.params, x)
+    assert [f.shape[-1] for f in fsq] == [128, 256, 512]
+    assert [f.shape[1] for f in fsq] == [15, 7, 3]  # ceil-mode pools
+
+    al = VGGPerceptualLoss(jax.random.PRNGKey(0), model="alex")
+    fal = al.model.apply(al.params, x)
+    assert [f.shape[-1] for f in fal] == [192, 384, 256, 256, 256]
+    assert float(al(x * 2 - 1, x * 2 - 1)) == 0.0
+
     with _pytest.raises(ValueError):
-        VGGPerceptualLoss(jax.random.PRNGKey(0), model="squeeze")
+        VGGPerceptualLoss(jax.random.PRNGKey(0), model="resnet50")
 
 
 def test_aux_snr_weighting():

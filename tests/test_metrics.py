@@ -249,3 +249,37 @@ def test_folder_harness(tmp_path, capsys):
     assert main([str(res_dir), str(gt_dir), "--report", str(report)]) == 0
     assert "Average (n=3):" in capsys.readouterr().out
     assert report.read_text().startswith("Average (n=3):")
+
+
+def test_folder_harness_pairs_by_stem(tmp_path, capsys):
+    """An extra/missing file must not shift the pairing (the reference's
+    positional zip misaligns every pair after one, metrics.py:620-626);
+    different extensions still pair by stem."""
+    import cv2
+
+    from hybrid_diffusion_tpu.metrics.__main__ import evaluate_folders
+
+    res_dir, gt_dir = tmp_path / "res", tmp_path / "gt"
+    res_dir.mkdir(), gt_dir.mkdir()
+    rng = np.random.RandomState(1)
+    imgs = {}
+    for i in range(3):
+        imgs[i] = rng.randint(0, 255, (48, 48, 3), np.uint8)
+        cv2.imwrite(str(gt_dir / f"im_{i}.png"), imgs[i])
+    # results: im_0 matches exactly (jpg ext — stems still pair), im_2
+    # matches; im_1 missing; an extra unmatched file present.
+    cv2.imwrite(str(res_dir / "im_0.jpg"), imgs[0],
+                [cv2.IMWRITE_JPEG_QUALITY, 100])
+    near2 = np.clip(imgs[2].astype(np.int32)
+                    + rng.randint(-2, 3, imgs[2].shape), 0, 255)
+    cv2.imwrite(str(res_dir / "im_2.png"), near2.astype(np.uint8))
+    cv2.imwrite(str(res_dir / "zz_extra.png"), imgs[0])
+
+    out = evaluate_folders(str(res_dir), str(gt_dir))
+    captured = capsys.readouterr().out
+    assert out["n"] == 2
+    # Correct stem pairing → high PSNR (jpeg-q100 + ±2 noise); a positional
+    # zip would have paired res im_2 with gt im_1 — unrelated random
+    # images, ~8 dB.
+    assert out["psnr"] > 20
+    assert "without a partner" in captured

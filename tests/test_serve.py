@@ -118,6 +118,23 @@ def test_http_server_roundtrip(enhancer):
             s = _json.loads(r.read())
         assert s["errors"] == 0 and s["mean_ms"] > 0
 
+        # ?size=WxH output-size override (host-side resize of the result).
+        req = urllib.request.Request(f"{base}/enhance?size=20x24",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out2 = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                                cv2.IMREAD_COLOR)
+        assert out2.shape == (24, 20, 3)
+
+        # Malformed size → 400.
+        req = urllib.request.Request(f"{base}/enhance?size=bogus",
+                                     data=body, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
         # Undecodable body → 400, not a crash.
         req = urllib.request.Request(f"{base}/enhance", data=b"junk",
                                      method="POST")

@@ -475,3 +475,98 @@ def test_preemption_checkpoint_and_auto_resume(tmp_path):
                      "epochs_stage_1": 1})
     summary2 = train(cfg2, max_steps=summary["steps"] + 2)
     assert not summary2["preempted"]
+
+
+def test_find_latest_skips_orbax_tmp(tmp_path):
+    """An in-flight orbax temp dir (left by an unclean kill mid-save) must
+    never be picked by --resume_from auto or epoch lookup."""
+    import time as _time
+
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        find_checkpoint,
+        find_latest_checkpoint,
+    )
+
+    (tmp_path / "ckpt_1_Stage_D").mkdir()
+    _time.sleep(0.01)
+    (tmp_path / "ckpt_2_Stage_D.orbax-checkpoint-tmp-1723890").mkdir()
+    latest = find_latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("ckpt_1_Stage_D")
+    assert find_checkpoint(str(tmp_path), 2) is None
+
+
+def test_parse_loss_overrides():
+    from hybrid_diffusion_tpu.config import Config, parse_loss_overrides
+
+    assert parse_loss_overrides("vgg=1.0, charbonnier=0.5") == {
+        "vgg": 1.0, "charbonnier": 0.5}
+    assert parse_loss_overrides("") == {}
+    with pytest.raises(ValueError):
+        parse_loss_overrides("nonsense=1.0")
+    with pytest.raises(ValueError):
+        parse_loss_overrides("vgg")
+
+    cfg = Config(stage1_losses="vgg=1.0,dino=0",
+                 stage2_losses="charbonnier=2.0")
+    s1, s2 = cfg.stage_loss_config(0), cfg.stage_loss_config(1)
+    assert s1.vgg_weight == 1.0 and s1.dino_weight == 0.0
+    assert s1.ms_ssim_weight == cfg.ms_ssim_weight  # untouched → shared
+    assert s2.charbonnier_weight == 2.0 and s2.vgg_weight == 0.0
+
+
+def test_per_stage_loss_sets(tmp_path, monkeypatch):
+    """The run-book's two-stage recipe (aplicacao.ipynb: 'Pre-Training
+    VGG+Charbonnier' then 'Enhancement (Charbonnier+Color+MS_SSIM)') is
+    expressible: each stage's logged per-term losses reflect exactly its
+    own weight set, and the VGG extractor is built when any stage uses it."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train import loop as loop_mod
+
+    logs = []
+
+    class Recorder:
+        def __init__(self, *a, **k):
+            pass
+
+        def log(self, metrics, step=None, prefix=""):
+            safe = {}
+            for k, v in metrics.items():
+                try:
+                    safe[k] = float(v)
+                except (TypeError, ValueError):
+                    continue
+            logs.append((prefix, safe))
+            return safe
+
+        def alert(self, *a, **k):
+            pass
+
+        def finish(self):
+            pass
+
+    monkeypatch.setattr(loop_mod, "MetricsLogger", Recorder)
+    cfg = Config(
+        synthetic_data=True, synthetic_length=8, batch_size=8,
+        img_size=16, channel=32, channel_mult=(1, 2), num_res_blocks=1,
+        T=8, epochs_stage_1=1, epochs_stage_2=1, save_checkpoint=1000,
+        bf16=False, num_workers=1, compilation_cache="",
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_path=str(tmp_path / "out"),
+        stage1_losses="vgg=0.2,charbonnier=1.0,dino=0,ms_ssim=0,color=0",
+        stage2_losses="charbonnier=1.0,color=1.0,ms_ssim=0.0045,"
+                      "dino=0,vgg=0",
+    )
+    summary = loop_mod.train(cfg)
+    assert len(summary["stages"]) == 2
+
+    stage1 = [m for p, m in logs if p.startswith("Train Atmospheric")]
+    stage2 = [m for p, m in logs if p.startswith("Train Underwater")]
+    assert stage1 and stage2
+    assert "vgg" in stage1[-1] and "charbonnier" in stage1[-1]
+    assert "color" not in stage1[-1] and "ms_ssim" not in stage1[-1]
+    assert "dino" not in stage1[-1]
+    assert "vgg" not in stage2[-1] and "dino" not in stage2[-1]
+    for term in ("charbonnier", "color", "ms_ssim"):
+        assert term in stage2[-1]
+    assert np.isfinite(stage1[-1]["total"])
+    assert np.isfinite(stage2[-1]["total"])
