@@ -104,6 +104,42 @@ def convert_vgg16(sd: dict) -> dict:
     return out
 
 
+# ---------------------------------------------------- AlexNet / SqueezeNet
+
+# torchvision alexnet.features conv indices, in order.
+_ALEX_CONV_IDS = [0, 3, 6, 8, 10]
+
+
+def convert_alexnet(sd: dict) -> dict:
+    """torchvision alexnet state_dict → _AlexFeatures npz dict."""
+    out = {}
+    for our_i, torch_i in enumerate(_ALEX_CONV_IDS):
+        w = _np(sd[f"features.{torch_i}.weight"])     # OIHW
+        out[f"params/conv_{our_i}/kernel"] = w.transpose(2, 3, 1, 0)
+        out[f"params/conv_{our_i}/bias"] = _np(sd[f"features.{torch_i}.bias"])
+    return out
+
+
+# torchvision squeezenet1_1.features Fire-module indices, in order.
+_SQUEEZE_FIRE_IDS = [3, 4, 6, 7, 9, 10, 11, 12]
+
+
+def convert_squeezenet(sd: dict) -> dict:
+    """torchvision squeezenet1_1 state_dict → _SqueezeFeatures npz dict."""
+    out = {
+        "params/conv_0/kernel": _np(
+            sd["features.0.weight"]).transpose(2, 3, 1, 0),
+        "params/conv_0/bias": _np(sd["features.0.bias"]),
+    }
+    for our_i, t in enumerate(_SQUEEZE_FIRE_IDS):
+        for name in ("squeeze", "expand1x1", "expand3x3"):
+            w = _np(sd[f"features.{t}.{name}.weight"])
+            out[f"params/fire_{our_i}/{name}/kernel"] = w.transpose(2, 3, 1, 0)
+            out[f"params/fire_{our_i}/{name}/bias"] = _np(
+                sd[f"features.{t}.{name}.bias"])
+    return out
+
+
 # ------------------------------------------------------------ InceptionV3
 
 def convert_inception_v3(sd: dict) -> dict:
@@ -138,6 +174,8 @@ def convert_inception_v3(sd: dict) -> dict:
 CONVERTERS = {
     "dino": convert_dino_vits14,
     "vgg16": convert_vgg16,
+    "alex": convert_alexnet,
+    "squeeze": convert_squeezenet,
     "inception": convert_inception_v3,
 }
 

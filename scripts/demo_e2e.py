@@ -37,7 +37,7 @@ def build_config(tmp: str, args) -> "Config":
         channel_mult=args.channel_mult,
         num_res_blocks=args.num_res_blocks,
         T=args.T,
-        dropout=0.1,
+        dropout=args.dropout,
         lr=args.lr,
         # Calibrate the warmup-cosine schedule to end at --steps: joint
         # training sees 2 domains × length/batch batches per epoch.
@@ -52,7 +52,7 @@ def build_config(tmp: str, args) -> "Config":
         ema_decay=min(0.999, 1.0 - 20.0 / max(args.steps, 40)),
         ddim=True,
         ddim_step=args.ddim_steps,
-        save_checkpoint=10_000,  # only the stage-final save
+        save_checkpoint=args.save_every,  # default: only the stage-final save
         checkpoint_dir=os.path.join(tmp, "ckpt"),
         output_path=os.path.join(tmp, "out"),
         compilation_cache=os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -107,6 +107,9 @@ def main() -> int:
     p.add_argument("--domain_routing", action=argparse.BooleanOptionalAction,
                    default=False)
     p.add_argument("--T", type=int, default=200)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--save_every", type=int, default=10_000,
+                   help="checkpoint cadence in epochs (for long runs)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--color_weight", type=float, default=0.0)
