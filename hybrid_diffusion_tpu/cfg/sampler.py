@@ -33,7 +33,10 @@ def _guided_eps(
     labels: jnp.ndarray,
     w: float,
 ) -> jnp.ndarray:
-    if w == 0.0:
+    # Single-call fast path only for a *concrete* w=0 — a traced w (e.g. a
+    # jitted guidance-scale sweep reusing one compile) takes the 2B path,
+    # where the mix formula reduces to ε_cond at w=0 anyway.
+    if isinstance(w, (int, float)) and w == 0.0:
         return denoise_fn(x_t, t, labels)
     both_x = jnp.concatenate([x_t, x_t], axis=0)
     both_t = jnp.concatenate([t, t], axis=0)

@@ -1,0 +1,175 @@
+"""CFG on-chip demo: train the label-conditioned DDPM briefly, then run a
+guidance-scale sweep and quantify the guidance effect.
+
+Matches the reference eval intent (DiffusionFreeGuidence/TrainCondition.py
+:75-108 samples a 10-class × nrow grid at w=1.8, MainCondition.py:21) plus
+the guidance-scale sweep named in BASELINE.json configs[1]: one jitted
+sampler (w is a traced argument — one compile, every w reuses it) sampling
+grids at each w.
+
+Quantitative signal: the synthetic labeled corpus (cfg/data.py) gives each
+class a deterministic hue × spatial-frequency template, so each sample can
+be classified by nearest noise-free class template. Classifier-free
+guidance sharpens class conditioning, so template accuracy should rise
+with w — that monotone curve (plus the grid PNGs) is the demo artifact.
+
+Usage: python scripts/demo_cfg.py [--steps 6000] [--ws 0,0.5,1.8,3.0]
+       [--out cfg_demo_results.json] [--keep output/cfg_demo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def class_templates(image_size: int) -> np.ndarray:
+    """Noise-free per-class images mirroring SyntheticLabeledDataset."""
+    s = image_size
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+    out = np.zeros((10, s, s, 3), np.float32)
+    for label in range(10):
+        hue = np.array([(label * 25 % 255), (label * 97 % 255),
+                        (label * 161 % 255)], np.float32)
+        freq = 1.0 + label
+        pattern = 0.5 + 0.5 * np.sin(2 * np.pi * freq * (yy + xx))[..., None]
+        # The dataset adds uniform(0, 30) noise before the uint8 clip; its
+        # mean (+15) is part of the class signal the model learns.
+        out[label] = np.clip(hue * pattern + 15.0, 0, 255)
+    return out
+
+
+def template_accuracy(imgs: np.ndarray, labels: np.ndarray,
+                      templates: np.ndarray) -> tuple[float, float]:
+    """(nearest-template accuracy, mean L2 distance to the true template)."""
+    x = imgs.astype(np.float32)                      # (N, H, W, 3)
+    d = ((x[:, None] - templates[None]) ** 2).mean(axis=(2, 3, 4))  # (N, 10)
+    pred = d.argmin(axis=1)
+    acc = float((pred == labels).mean())
+    true_d = float(np.sqrt(d[np.arange(len(labels)), labels]).mean())
+    return acc, true_d
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--epochs", type=int, default=10_000)
+    p.add_argument("--channel", type=int, default=128)
+    p.add_argument("--T", type=int, default=500)
+    p.add_argument("--batch", type=int, default=80)
+    p.add_argument("--img_size", type=int, default=32)
+    p.add_argument("--synthetic_length", type=int, default=2000)
+    p.add_argument("--nrow", type=int, default=8)
+    p.add_argument("--ws", default="0,0.5,1.8,3.0")
+    p.add_argument("--data_root", default=None,
+                   help="local CIFAR-10 dir (default: synthetic fixture)")
+    p.add_argument("--out", default=None)
+    p.add_argument("--keep", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    # The axon TPU plugin overrides JAX_PLATFORMS; HDT_PLATFORM=cpu forces
+    # a CPU run (e.g. smoke-testing while the chip is busy).
+    if os.environ.get("HDT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HDT_PLATFORM"])
+    import jax.numpy as jnp
+
+    from hybrid_diffusion_tpu.cfg.sampler import cfg_ddpm_sample
+    from hybrid_diffusion_tpu.cfg.train import (
+        CFGConfig,
+        _image_grid,
+        _write_png,
+        build_cfg_model,
+        train_cfg,
+    )
+    from hybrid_diffusion_tpu.diffusion.schedule import linear_beta_schedule
+
+    tmp = args.keep or tempfile.mkdtemp(prefix="hdt_cfg_demo_")
+    ws = [float(w) for w in args.ws.split(",")]
+    config = CFGConfig(
+        epochs=args.epochs,
+        batch_size=args.batch,
+        T=args.T,
+        channel=args.channel,
+        img_size=args.img_size,
+        nrow=args.nrow,
+        synthetic_length=args.synthetic_length,
+        data_root=args.data_root,
+        save_dir=os.path.join(tmp, "ckpt"),
+        sampled_dir=tmp,
+        save_every=10_000,  # demo keeps only in-memory params
+    )
+    summary: dict = {"config": {
+        "steps": args.steps, "T": args.T, "channel": args.channel,
+        "batch": args.batch, "img_size": args.img_size, "ws": ws,
+    }}
+
+    t0 = time.time()
+    result = train_cfg(config, max_steps=args.steps)
+    summary["train"] = {
+        "steps": result["steps"],
+        "first_loss": round(result["losses"][0], 4),
+        "last_loss": round(result["losses"][-1], 4),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(f"# trained {result['steps']} steps in {summary['train']['wall_s']}s"
+          f" loss {result['losses'][0]:.4f} -> {result['losses'][-1]:.4f}",
+          file=sys.stderr)
+
+    # One jitted sampler with w as a traced argument: single compile for
+    # the whole sweep.
+    model = build_cfg_model(dataclasses.replace(config, dropout=0.0))
+    params = result["params"]
+    schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
+    labels_np = np.repeat(np.arange(1, 11), config.nrow)  # +1-shifted
+    labels = jnp.asarray(labels_np, jnp.int32)
+
+    def denoise(x, t, l):
+        return model.apply(params, x, t, l)
+
+    sample = jax.jit(lambda w, r: cfg_ddpm_sample(
+        denoise, schedule, labels, r, image_size=config.img_size, w=w))
+
+    templates = class_templates(config.img_size)
+    summary["sweep"] = []
+    for i, w in enumerate(ws):
+        t0 = time.time()
+        out = jax.block_until_ready(
+            sample(jnp.float32(w), jax.random.PRNGKey(1234)))
+        wall = time.time() - t0
+        imgs = (np.asarray((out + 1.0) / 2.0 * 255.0)
+                .clip(0, 255).astype(np.uint8))
+        acc, dist = template_accuracy(imgs, labels_np - 1, templates)
+        png = os.path.join(tmp, f"cfg_grid_w{w:g}.png")
+        _write_png(png, _image_grid(imgs, config.nrow))
+        entry = {"w": w, "template_accuracy": round(acc, 4),
+                 "template_dist": round(dist, 2),
+                 "sample_wall_s": round(wall, 1), "grid": png}
+        summary["sweep"].append(entry)
+        print(f"# w={w:g}: acc={acc:.3f} dist={dist:.1f} {wall:.1f}s"
+              + (" (incl. compile)" if i == 0 else ""), file=sys.stderr)
+
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+    # Pass criterion: guidance helps — best guided accuracy beats w=0.
+    by_w = {e["w"]: e["template_accuracy"] for e in summary["sweep"]}
+    guided = max(v for w, v in by_w.items() if w > 0)
+    print(f"# guided acc {guided:.3f} vs unguided {by_w.get(0.0, 0):.3f}",
+          file=sys.stderr)
+    return 0 if guided >= by_w.get(0.0, 0.0) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

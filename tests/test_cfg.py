@@ -98,6 +98,35 @@ def test_cfg_sampler_shapes_and_range():
     assert float(jnp.max(out)) <= 1.0 and float(jnp.min(out)) >= -1.0
 
 
+def test_cfg_sampler_traced_w_sweep_single_compile():
+    """A jitted sampler with w as a *traced* argument (one compile for a
+    guidance-scale sweep, scripts/demo_cfg.py) matches per-w concrete
+    sampling — including w=0, whose concrete path skips the 2B call."""
+    schedule = linear_beta_schedule(1e-4, 0.028, 8)
+
+    def dummy(x, t, labels):
+        # Label-dependent so guided and unguided eps genuinely differ.
+        return x * 0.1 + 0.01 * labels[:, None, None, None].astype(jnp.float32)
+
+    labels = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    compiles = []
+
+    @jax.jit
+    def sample(w, rng):
+        compiles.append(1)
+        return cfg_ddpm_sample(dummy, schedule, labels, rng,
+                               image_size=16, w=w)
+
+    rng = jax.random.PRNGKey(7)
+    for w in (0.0, 0.5, 1.8):
+        traced = sample(jnp.float32(w), rng)
+        concrete = cfg_ddpm_sample(dummy, schedule, labels, rng,
+                                   image_size=16, w=w)
+        np.testing.assert_allclose(np.asarray(traced), np.asarray(concrete),
+                                   atol=1e-6)
+    assert len(compiles) == 1  # traced once, reused across the sweep
+
+
 def test_cfg_train_step_decreases_loss():
     from hybrid_diffusion_tpu.models.cfg_unet import CFGUNet
 
