@@ -57,7 +57,11 @@ def build_config(tmp: str, args) -> "Config":
         output_path=os.path.join(tmp, "out"),
         compilation_cache=os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                          ".jax_cache"),
-        dino_weight=0.0,  # no pretrained weights in this environment
+        # Default 0: no pretrained weights in this environment. Pass
+        # --dino_weight to exercise the DINO similarity term end-to-end
+        # (random-init ViT features still provide a training signal and
+        # drive the full extractor + loss path on chip).
+        dino_weight=args.dino_weight,
         # The demo isolates the diffusion spine: pure-MSE epsilon loss.
         # (The composite enhancement losses are the production recipe; at
         # demo scale they slow early convergence — measured −1.7 dB at
@@ -113,6 +117,7 @@ def main() -> int:
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--color_weight", type=float, default=0.0)
+    p.add_argument("--dino_weight", type=float, default=0.0)
     p.add_argument("--ms_ssim_weight", type=float, default=0.0)
     p.add_argument("--out", default=None, help="write JSON summary here")
     p.add_argument("--keep", default=None,
