@@ -84,9 +84,6 @@ def bench_train(quick: bool) -> None:
         # same step with the optimizer update replaced by a no-op.
         from hybrid_diffusion_tpu.train import step as step_mod
 
-        full = make_train_step(schedule, cfg, domain_routing=routing,
-                               jit=False)
-
         def raw(state_, batch_, rng_):
             from hybrid_diffusion_tpu.diffusion.process import (
                 predict_x0_from_eps,

@@ -100,6 +100,14 @@ class Config:
     # force a device sync each step, so cadence is configurable).
     # 0 = per-epoch only.
     log_every: int = 0
+    # >0: every N epochs run a cheap fixed-subset val PSNR probe
+    # (DPM++(2M), eval_probe_steps) and append a JSONL row to
+    # <output_path>/eval_curve.jsonl — banks a quality-vs-step curve during
+    # long runs (the reference's per-checkpoint test hook intent,
+    # rotinas.py:699-711, without the full metric sweep's cost).
+    eval_every: int = 0
+    eval_probe_steps: int = 15                # sampler steps for the probe
+    eval_probe_batches: int = 1               # val batches per probe
     # TPU execution
     bf16: bool = True
     use_pallas_attention: bool = False

@@ -39,7 +39,9 @@ def shard_for_host(
         # each example process_count× — fail loudly instead.
         raise ValueError(
             f"shard_for_host: {len(indices)} example(s) cannot be sharded "
-            f"over {process_count} hosts (need at least one per host)")
+            f"over {process_count} hosts (need at least one per host). "
+            f"For tiny eval/val splits, enlarge the split or evaluate on "
+            f"fewer hosts (e.g. a single-process eval job)")
     return indices[process_index * per : (process_index + 1) * per]
 
 

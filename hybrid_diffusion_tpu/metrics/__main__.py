@@ -70,8 +70,9 @@ def evaluate_folders(result_path: str, gt_path: str) -> dict:
             if corrected.shape != gt_image.shape:
                 raise ValueError(
                     f"shape mismatch {corrected.shape} vs {gt_image.shape}")
-            uiqm_v, uciqe_v, uism_v, _, _ = nmetrics(
-                corrected.astype(np.float32) / 255.0)
+            # uint8 0-255 (reference metrics.py:609-668 walks saved files
+            # the same way; the UIQM family is range-sensitive).
+            uiqm_v, uciqe_v, uism_v, _, _ = nmetrics(corrected)
             psnr_v = psnr(gt_image, corrected, data_range=255)
             ssim_v = ssim_index(gt_image, corrected, data_range=255)
         except Exception as e:

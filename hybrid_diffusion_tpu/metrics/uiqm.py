@@ -30,6 +30,25 @@ from .color import rgb2gray, rgb2lab
 PLIP_GAMMA = 1026.0
 
 
+def _to_255(rgb: np.ndarray) -> np.ndarray:
+    """Canonicalize an RGB image to float64 in the [0, 255] domain.
+
+    The reference's eval loops feed `nmetrics` images scaled to [0, 255]
+    (rotinas.py:918-923: `np.clip(...)*255`), and the UIQM family is
+    range-sensitive: UISM rounds `ch * sobel` to uint8 (zero on [0,1]
+    inputs) and the PLIP logAMEE constants (γ=1026) assume 0-255
+    intensities. Accept uint8, float [0,1] (scaled up), or float [0,255]
+    so every caller lands on the reference's domain.
+    """
+    rgb = np.asarray(rgb)
+    if rgb.dtype == np.uint8:
+        return rgb.astype(np.float64)
+    rgb = rgb.astype(np.float64)
+    if rgb.size and rgb.max() <= 1.0:
+        return rgb * 255.0
+    return rgb
+
+
 # ---------- block statistics helpers ----------
 
 def _block_min_max(x: np.ndarray, blocksize: int):
@@ -80,7 +99,7 @@ def _sobel_magnitude(ch: np.ndarray) -> np.ndarray:
 
 def uicm(rgb: np.ndarray) -> float:
     """Colorfulness via 10%-trimmed rg/yb statistics (metrics.py:347-364)."""
-    rgb = np.asarray(rgb, np.float64)
+    rgb = _to_255(rgb)
     rg = (rgb[..., 0] - rgb[..., 1]).ravel()
     yb = ((rgb[..., 0] + rgb[..., 1]) / 2 - rgb[..., 2]).ravel()
     T = int(0.1 * rg.size)
@@ -94,8 +113,9 @@ def uicm(rgb: np.ndarray) -> float:
 
 def uism(rgb: np.ndarray) -> float:
     """Sharpness: sobel-magnitude-weighted channels → uint8 → EME
-    (metrics.py:366-379)."""
-    rgb = np.asarray(rgb, np.float64)
+    (metrics.py:366-379). Range-sensitive: must run on 0-255 intensities
+    (the uint8 round of `ch * sobel` collapses to zero on [0,1] inputs)."""
+    rgb = _to_255(rgb)
     emes = []
     for c in range(3):
         ch = rgb[..., c]
@@ -105,14 +125,28 @@ def uism(rgb: np.ndarray) -> float:
 
 
 def uiconm(rgb: np.ndarray) -> float:
-    """Contrast: logAMEE of the luma channel (metrics.py:381-382)."""
-    return logamee(rgb2gray(np.asarray(rgb)))
+    """Contrast: logAMEE of the luma channel (metrics.py:381-382).
+
+    Luma stays on the 0-255 scale: the reference applies skimage rgb2gray
+    (pure coefficient mix) to [0,255] floats, which is also the scale the
+    PLIP γ=1026 constants are designed for.
+    """
+    rgb255 = _to_255(rgb)
+    luma = (rgb255[..., 0] * 0.2125 + rgb255[..., 1] * 0.7154
+            + rgb255[..., 2] * 0.0721)
+    return logamee(luma)
 
 
 def uciqe(rgb: np.ndarray) -> float:
     """UCIQE = 0.4680·σ_chroma + 0.2745·con_l + 0.2576·μ_sat
-    (metrics.py:305-337)."""
-    lab = rgb2lab(np.asarray(rgb))
+    (metrics.py:305-337).
+
+    Recorded divergence: the reference pushes [0,255] *floats* into
+    skimage `rgb2lab`, which assumes [0,1] floats — an unambiguous bug
+    (out-of-gamut Lab). We convert on the correct [0,1] scale instead
+    (SURVEY §7 policy: fix unambiguous bugs, record the divergence).
+    """
+    lab = rgb2lab(_to_255(rgb) / 255.0)
     L = lab[..., 0]
     chroma = np.hypot(lab[..., 1], lab[..., 2])
     sc = float(np.sqrt(np.mean((chroma - chroma.mean()) ** 2)))
@@ -129,7 +163,9 @@ def uciqe(rgb: np.ndarray) -> float:
 
 def nmetrics(rgb: np.ndarray) -> tuple[float, float, float, float, float]:
     """(uiqm, uciqe, uism, uicm, uiconm) — the reference's all-in-one
-    evaluator (metrics.py:301-385). Input: HWC RGB, uint8 or float."""
+    evaluator (metrics.py:301-385). Input: HWC RGB — uint8, float [0,1],
+    or float [0,255]; all are canonicalized to the reference's 0-255
+    domain (see `_to_255`)."""
     _uicm = uicm(rgb)
     _uism = uism(rgb)
     _uiconm = uiconm(rgb)
@@ -198,8 +234,9 @@ def _uiconm_blocks(x: np.ndarray, blocksize: int = 8) -> float:
 
 def getUIQM(rgb: np.ndarray) -> float:
     """UIQM = 0.0282·UICM + 0.2953·UISM + 3.5753·UICONM via the ndimage
-    pipeline (metrics.py:282-299)."""
-    x = np.asarray(rgb, np.float32)
+    pipeline (metrics.py:282-299). Input canonicalized to 0-255 like
+    `nmetrics` (the reference feeds this the same [0,255] images)."""
+    x = _to_255(rgb).astype(np.float32)
     return float(
         0.0282 * _uicm_trimmed(x)
         + 0.2953 * _uism_ndimage(x)

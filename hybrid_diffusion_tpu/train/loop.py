@@ -211,6 +211,64 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     summary = {"stages": [], "steps": 0, "preempted": False}
     resumed = False
 
+    # --eval_every probe: cheap DPM++(2M) val PSNR on a fixed subset,
+    # appended to <output_path>/eval_curve.jsonl. One jitted sampler taking
+    # params as an argument (no per-call recompile); val batches are pulled
+    # once per domain and pinned so the curve is comparable across epochs.
+    probe_state: dict = {"fn": None, "batches": {}}
+
+    def run_eval_probe(state, stage_name, probe_domains, epoch):
+        from ..diffusion import dpm_solver_pp_2m_sample
+        from ..metrics import psnr as _psnr
+
+        if probe_state["fn"] is None:
+            def _sample(p, cond_u8, sub):
+                cond = normalize_uint8(cond_u8)
+
+                def denoise(x6, t, context_zero=True):
+                    return model.apply(p, x6, t, context_zero=context_zero)
+
+                out = dpm_solver_pp_2m_sample(
+                    denoise, schedule, cond, sub,
+                    steps=config.eval_probe_steps, guidance_scale=1.0)
+                return (out + 1.0) / 2.0
+
+            probe_state["fn"] = jax.jit(_sample)
+        rows = []
+        for dom in probe_domains:
+            if dom not in probe_state["batches"]:
+                ld = _loader(config, dom, "val", shuffle=False)
+                # Pinned once; the jitted probe compiles per distinct batch
+                # shape, so at most one extra compile for a ragged tail.
+                probe_state["batches"][dom] = [
+                    {"input": b["input"], "gt": b["gt"]}
+                    for _, b in zip(range(config.eval_probe_batches), ld)]
+            total, n = 0.0, 0
+            for bi, b in enumerate(probe_state["batches"][dom]):
+                out = np.asarray(probe_state["fn"](
+                    state.params, jnp.asarray(b["input"]),
+                    jax.random.PRNGKey(config.seed + bi)))
+                out_u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+                for i in range(out_u8.shape[0]):
+                    total += _psnr(b["gt"][i], out_u8[i], data_range=255)
+                    n += 1
+            if n:
+                rows.append({"stage": stage_name, "epoch": epoch + 1,
+                             "step": int(state.step), "domain": dom,
+                             "psnr": round(total / n, 3), "n": n,
+                             "probe_steps": config.eval_probe_steps,
+                             "time": time.time()})
+        if rows:
+            import json
+
+            os.makedirs(config.output_path, exist_ok=True)
+            with open(os.path.join(config.output_path,
+                                   "eval_curve.jsonl"), "a") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            print("[eval_probe] " + "  ".join(
+                f"{r['domain']}: {r['psnr']:.2f} dB" for r in rows))
+
     for stage_index, (stage_name, domain, stage_epochs) in enumerate(stages):
         if stage_epochs <= 0:
             continue
@@ -259,6 +317,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             # re-pin (no-op when shardings already match).
             state = shard_state(mesh, state, zero1=config.zero1)
             resumed = True
+            # Count the restored optimizer step against max_steps so a
+            # resumed run finishes the ORIGINAL budget (and its cosine
+            # schedule) instead of appending a whole new budget at end-LR.
+            # (One device sync, once. Micro-step counts differ from
+            # optimizer steps under grad_accum>1; the budget is in
+            # optimizer steps then — the schedule's own clock.)
+            summary["steps"] = int(state.step)
             print(f"[train] resumed full state from {resume_path} "
                   f"(step {int(state.step)})")
 
@@ -321,6 +386,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     block=not config.async_checkpoint,
                 )
                 logger.alert("checkpoint", path)
+            if config.eval_every and (epoch + 1) % config.eval_every == 0:
+                run_eval_probe(state, stage_name,
+                               ("atmospheric", "underwater")
+                               if domain == "both" else (domain,), epoch)
             if max_steps and summary["steps"] >= max_steps:
                 break
             if preempt["flag"]:
@@ -490,8 +559,10 @@ def evaluate(config: Config, split: str = "test",
                 gt = batch["gt"][i]
                 sums["psnr"] += psnr(gt, img, data_range=255)
                 sums["ssim"] += ssim_index(gt, img, data_range=255)
-                uiqm_v, uciqe_v, uism_v, uicm_v, uiconm_v = nmetrics(
-                    img.astype(np.float32) / 255.0)
+                # uint8 0-255, matching the reference's nmetrics(res_Imgs)
+                # call with [0,255] images (rotinas.py:918-923) — the UIQM
+                # family is range-sensitive (metrics/uiqm.py:_to_255).
+                uiqm_v, uciqe_v, uism_v, uicm_v, uiconm_v = nmetrics(img)
                 sums["uiqm"] += uiqm_v
                 sums["uciqe"] += uciqe_v
                 sums["uism"] += uism_v

@@ -165,7 +165,12 @@ def main() -> int:
             json.dump(summary, f, indent=2)
     # Pass criterion: guidance helps — best guided accuracy beats w=0.
     by_w = {e["w"]: e["template_accuracy"] for e in summary["sweep"]}
-    guided = max(v for w, v in by_w.items() if w > 0)
+    positives = [v for w, v in by_w.items() if w > 0]
+    if not positives:
+        print("# no guided (w>0) runs in the sweep — nothing to compare",
+              file=sys.stderr)
+        return 0
+    guided = max(positives)
     print(f"# guided acc {guided:.3f} vs unguided {by_w.get(0.0, 0):.3f}",
           file=sys.stderr)
     return 0 if guided >= by_w.get(0.0, 0.0) else 1

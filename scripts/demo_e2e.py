@@ -75,6 +75,15 @@ def build_config(tmp: str, args) -> "Config":
         # because its requires_grad routing is a no-op (SURVEY.md §2.9.11):
         # its effective recipe is routing-off, which the demo mirrors.
         domain_routing=args.domain_routing,
+        # Long-run quality telemetry: --eval_every N banks a fixed-subset
+        # val-PSNR probe to <out>/eval_curve.jsonl (round 2 lost its
+        # flagship proof to exactly this gap — hours of training, no
+        # banked quality signal).
+        eval_every=args.eval_every,
+        eval_probe_steps=args.eval_probe_steps,
+        # Full-state resume (params + moments + schedule step) from a
+        # prior demo run's checkpoint; "auto" = newest in checkpoint_dir.
+        resume_from=args.resume_from,
     )
 
 
@@ -119,6 +128,14 @@ def main() -> int:
     p.add_argument("--color_weight", type=float, default=0.0)
     p.add_argument("--dino_weight", type=float, default=0.0)
     p.add_argument("--ms_ssim_weight", type=float, default=0.0)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="val-PSNR probe cadence in epochs (0 = off)")
+    p.add_argument("--eval_probe_steps", type=int, default=15)
+    p.add_argument("--resume_from", default=None,
+                   help='checkpoint to resume full state from ("auto" = '
+                        "newest under --keep/ckpt)")
+    p.add_argument("--skip_floor", action="store_true",
+                   help="skip the untrained-floor eval (already recorded)")
     p.add_argument("--out", default=None, help="write JSON summary here")
     p.add_argument("--keep", default=None,
                    help="keep artifacts under this dir instead of a tempdir")
@@ -135,14 +152,16 @@ def main() -> int:
     }}
 
     # Untrained-floor eval: sample with random-init weights.
-    t0 = time.time()
-    eval_cfg = Config(**{**config.__dict__, "state": "eval"})
-    floor = evaluate(eval_cfg, split="val", compute_fid=False,
-                     save_images=False)
-    summary["untrained"] = {
-        d: {k: round(v, 3) for k, v in r.items() if k in ("psnr", "ssim")}
-        for d, r in floor.items()}
-    print(f"# untrained floor eval {time.time()-t0:.0f}s", file=sys.stderr)
+    if not args.skip_floor:
+        t0 = time.time()
+        eval_cfg = Config(**{**config.__dict__, "state": "eval",
+                             "resume_from": None})
+        floor = evaluate(eval_cfg, split="val", compute_fid=False,
+                         save_images=False)
+        summary["untrained"] = {
+            d: {k: round(v, 3) for k, v in r.items() if k in ("psnr", "ssim")}
+            for d, r in floor.items()}
+        print(f"# untrained floor eval {time.time()-t0:.0f}s", file=sys.stderr)
 
     # Train.
     t0 = time.time()
@@ -173,6 +192,8 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
     # The demo passes if training beat the untrained floor by a wide margin.
+    if "untrained" not in summary:  # --skip_floor resume run
+        return 0
     gain = min(
         summary["trained"][d]["psnr"] - summary["untrained"][d]["psnr"]
         for d in summary["trained"])

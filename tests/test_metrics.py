@@ -135,6 +135,23 @@ def test_nmetrics_outputs_finite_and_ordered():
     )
 
 
+def test_nmetrics_range_canonicalization():
+    """uint8, float[0,1], and float[0,255] inputs all land on the
+    reference's 0-255 domain — the round-2 eval artifacts were degenerate
+    (uism=0.0) because [0,1] floats collapsed the UISM uint8 round
+    (VERDICT r2 weak #2; reference rotinas.py:918-923 feeds [0,255])."""
+    img = _img(21, 64)
+    ref = nmetrics(img)
+    got01 = nmetrics(img.astype(np.float32) / 255.0)
+    got255 = nmetrics(img.astype(np.float64))
+    np.testing.assert_allclose(got01, ref, rtol=1e-6)  # f32 /255 roundtrip
+    np.testing.assert_allclose(got255, ref, rtol=1e-12)
+    uiqm_v, _, uism_v, _, uiconm_v = ref
+    assert uism_v > 0.1, "UISM must be nonzero on a natural-range image"
+    assert abs(uiconm_v) > 1e-3, "logAMEE contrast must not degenerate"
+    assert np.isclose(getUIQM(img), getUIQM(img.astype(np.float32) / 255.0))
+
+
 def test_uciqe_flat_image_low():
     """A flat gray image has no chroma variance / luminance contrast."""
     flat = np.full((32, 32, 3), 128, np.uint8)
