@@ -328,6 +328,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                   f"(step {int(state.step)})")
 
         last_metrics: dict = {}
+        metrics = None  # set by the first executed step
         for epoch in range(stage_epochs):
             for ld in loaders:
                 ld.set_epoch(epoch)
@@ -341,6 +342,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 sharding=batch_sharding(mesh),
             )
             for arrays in batches:
+                # Budget check BEFORE the step: a resumed run whose
+                # restored step already meets max_steps must run zero.
+                if max_steps and summary["steps"] >= max_steps:
+                    break
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, arrays, sub)
                 summary["steps"] += 1
@@ -353,6 +358,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                prefix=f"Train {stage_name}/")
                 if max_steps and summary["steps"] >= max_steps:
                     break
+            if metrics is None:  # zero steps ran (budget already met)
+                break
             last_metrics = logger.log(metrics, step=int(state.step),
                                       prefix=f"Train {stage_name}/")
             sps = steps_per_epoch / max(time.time() - t_epoch, 1e-9)

@@ -95,6 +95,7 @@ def main() -> int:
     from hybrid_diffusion_tpu.diffusion.schedule import linear_beta_schedule
 
     tmp = args.keep or tempfile.mkdtemp(prefix="hdt_cfg_demo_")
+    os.makedirs(tmp, exist_ok=True)  # --keep paths may not exist yet
     ws = [float(w) for w in args.ws.split(",")]
     config = CFGConfig(
         epochs=args.epochs,

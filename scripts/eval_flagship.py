@@ -40,6 +40,10 @@ def main() -> int:
                    help='"" = DDIM (reference); "dpm++2m" = fast sampler')
     p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--split", default="val")
+    p.add_argument("--fid", action="store_true",
+                   help="also compute FID (random-init inception features "
+                        "unless HDT_INCEPTION_WEIGHTS is set — then only "
+                        "self-consistent, not reference-comparable)")
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--out_dir", default="output/demo256/eval")
     p.add_argument("--out", default=None, help="write JSON summary here")
@@ -70,7 +74,7 @@ def main() -> int:
                                          ".jax_cache"),
     )
     t0 = time.time()
-    results = evaluate(config, split=args.split, compute_fid=False,
+    results = evaluate(config, split=args.split, compute_fid=args.fid,
                        save_images=args.save_images)
     summary = {
         "checkpoint": args.ckpt,

@@ -209,8 +209,11 @@ def test_full_state_checkpoint_resume(tmp_path):
                  checkpoint_dir=str(tmp_path / "ck2"),
                  output_path=str(tmp_path / "out"), num_workers=1,
                  compilation_cache="", resume_from=path)
-    summary = train(cfg, max_steps=1)
-    assert summary["steps"] == 1
+    # max_steps is a GLOBAL optimizer-step budget: the restored step (3)
+    # counts toward it, so budget 4 runs exactly one more step — the
+    # original schedule completes instead of appending a fresh budget.
+    summary = train(cfg, max_steps=4)
+    assert summary["steps"] == 4
 
 
 def test_nan_guard_saves_emergency_checkpoint(tmp_path, monkeypatch):
