@@ -127,6 +127,14 @@ def main() -> int:
           f" loss {result['losses'][0]:.4f} -> {result['losses'][-1]:.4f}",
           file=sys.stderr)
 
+    # Persist the trained params so the sweep/grids can be regenerated
+    # later without retraining (flat npz of the param pytree).
+    import jax.tree_util as jtu
+
+    flat = {"/".join(str(k.key) for k in path): np.asarray(leaf)
+            for path, leaf in jtu.tree_flatten_with_path(result["params"])[0]}
+    np.savez(os.path.join(tmp, "cfg_params.npz"), **flat)
+
     # One jitted sampler with w as a traced argument: single compile for
     # the whole sweep.
     model = build_cfg_model(dataclasses.replace(config, dropout=0.0))
