@@ -68,6 +68,13 @@ def build_config(tmp: str, args) -> "Config":
         # 1500 steps.)
         color_weight=args.color_weight,
         ms_ssim_weight=args.ms_ssim_weight,
+        # At T=1000 the unweighted x0-based aux terms blow up training:
+        # x0 = (x_t − √(1−ᾱ)ε̂)/√ᾱ amplifies ε̂ error by 1/√ᾱ_t (≈60× at
+        # high t), and the flagship run's gradient norm grew 9→40→132 in
+        # 12 epochs before being killed. --aux_snr_weight scales each
+        # aux term by ᾱ_t (≈SNR/(SNR+1)), the mitigation measured +0.4 dB
+        # over MSE-only at the 1500-step demo budget (composite.py:37-44).
+        aux_snr_weight=args.aux_snr_weight,
         # Joint (interleaved-domain) training with the *intended* routing
         # semantics — alternating middle-block gradient freezes — destab-
         # ilizes deeper configs (measured: loss 0.07→1.3 at 128² mult
@@ -128,6 +135,9 @@ def main() -> int:
     p.add_argument("--color_weight", type=float, default=0.0)
     p.add_argument("--dino_weight", type=float, default=0.0)
     p.add_argument("--ms_ssim_weight", type=float, default=0.0)
+    p.add_argument("--aux_snr_weight", action="store_true",
+                   help="scale x0-based aux losses by alpha_bar_t "
+                        "(required for stability at large T)")
     p.add_argument("--eval_every", type=int, default=0,
                    help="val-PSNR probe cadence in epochs (0 = off)")
     p.add_argument("--eval_probe_steps", type=int, default=15)
