@@ -123,10 +123,15 @@ def checkpoint_has_ema(path: str) -> bool:
 def restore_params(path: str, params_template: Any) -> Any:
     """Restore parameters only (transfer-learning / eval load).
 
-    Accepts either a full-state checkpoint directory or one holding only
-    params.
+    Accepts a full-state checkpoint directory, one holding only params,
+    or a flat ``.npz`` written by utils.params_io/scripts/export_params.py
+    (the round-portable single-file export).
     """
     path = os.path.abspath(path)
+    if path.endswith(".npz"):
+        from ..utils.params_io import load_params_npz
+
+        return load_params_npz(path, params_template)
     if checkpoint_has_ema(path):
         # Evaluation/transfer prefers the EMA weights when the run kept them.
         return _restore_partial(
