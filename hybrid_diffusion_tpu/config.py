@@ -89,6 +89,12 @@ class Config:
     # paths / io
     pretrained_path: Optional[str] = None
     resume_from: Optional[str] = None         # full-state checkpoint resume
+    # Non-empty: at every checkpoint save, also export the current best
+    # sampling weights (mature EMA, else raw params) as one flat fp16 .npz
+    # at this path (atomic replace) plus a <path>.json sidecar recording
+    # step/subtree — a git-committable artifact that survives the output/
+    # wipe between rounds (orbax dirs do not). See utils/params_io.py.
+    export_npz: str = ""
     output_path: str = "./results/"
     checkpoint_dir: str = "./output/ckpt/"
     inference_image: str = ""

@@ -91,6 +91,10 @@ def build_config(tmp: str, args) -> "Config":
         # Full-state resume (params + moments + schedule step) from a
         # prior demo run's checkpoint; "auto" = newest in checkpoint_dir.
         resume_from=args.resume_from,
+        # Round-survivable weights: every checkpoint save also exports the
+        # best sampling weights (mature EMA, else raw) to this npz path —
+        # a git-committable artifact outside the wiped output/ tree.
+        export_npz=args.export_npz,
     )
 
 
@@ -141,6 +145,8 @@ def main() -> int:
     p.add_argument("--eval_every", type=int, default=0,
                    help="val-PSNR probe cadence in epochs (0 = off)")
     p.add_argument("--eval_probe_steps", type=int, default=15)
+    p.add_argument("--export_npz", default="",
+                   help="also export weights npz here at every checkpoint")
     p.add_argument("--resume_from", default=None,
                    help='checkpoint to resume full state from ("auto" = '
                         "newest under --keep/ckpt)")
