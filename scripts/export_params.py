@@ -1,16 +1,27 @@
-"""Export a trained checkpoint's (EMA) params to a single flat .npz.
+"""Export a trained checkpoint's params to a single flat .npz.
 
 The orbax checkpoint directories live under gitignored ``output/`` and
-are wiped between rounds; this exports the weights that matter — the
-EMA params used for sampling — as one compressed, git-committable file
-that `restore_params` (and thus eval_flagship.py / the CLI
-``--pretrained_path``) accepts directly:
+are wiped between rounds; this exports the sampling weights as one
+compressed, git-committable file that `restore_params` (and thus
+eval_flagship.py / the CLI ``--pretrained_path``) accepts directly:
 
   python scripts/export_params.py --ckpt output/demo256/ckpt/ckpt_... \
       --size 256 --channel 128 --channel_mult 1 2 2 2 \
-      --out docs/assets/flagship256_ema_fp16.npz
+      --out docs/assets/flagship256_fp16.npz
 
-  python scripts/eval_flagship.py --ckpt docs/assets/flagship256_ema_fp16.npz
+  python scripts/eval_flagship.py --ckpt docs/assets/flagship256_fp16.npz
+
+``--subtree auto`` (default) applies the EMA-maturity rule
+(train/checkpoint.py:choose_restore_subtree): the EMA is exported only
+when decay^step says it carries <5% residual random init, otherwise the
+raw params — round 3 shipped a 1,600-step EMA that evaluated at 4.4 dB
+(below the no-op baseline) because the old script exported EMA
+unconditionally. A <out>.json sidecar records step/subtree/decay.
+
+**Verify before shipping**: ALWAYS run
+``scripts/eval_flagship.py --ckpt <out>`` on the exported file itself —
+not the orbax dir — before committing it; the sidecar is provenance,
+not proof.
 
 The template is built with jax.eval_shape (no compile, no device work) —
 important on this 1-core host where a jitted 256^2 model.init costs
@@ -40,6 +51,9 @@ def main() -> int:
                    choices=["float16", "float32"],
                    help="export precision (fp16 is lossless w.r.t. the "
                         "bf16 compute path; see utils/params_io.py)")
+    p.add_argument("--subtree", default="auto",
+                   choices=["auto", "ema", "raw"],
+                   help="auto = EMA-maturity rule; ema/raw force a subtree")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--channel", type=int, default=128)
     p.add_argument("--channel_mult", type=int, nargs="+", default=[1, 2, 2, 2])
@@ -53,7 +67,12 @@ def main() -> int:
     jax.config.update("jax_platforms", "cpu")  # no device work needed
 
     from hybrid_diffusion_tpu.models import DynamicUNet
-    from hybrid_diffusion_tpu.train.checkpoint import restore_params
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        _restore_partial,
+        choose_restore_subtree,
+        load_metadata,
+        restore_params,
+    )
     from hybrid_diffusion_tpu.utils.params_io import save_params_npz
 
     model = DynamicUNet(T=args.T, ch=args.channel,
@@ -63,13 +82,32 @@ def main() -> int:
     t = jnp.zeros((1,), jnp.int32)
     template = jax.eval_shape(model.init, jax.random.PRNGKey(0), x6, t)
 
-    params = restore_params(args.ckpt, template)
+    if args.subtree == "auto" or args.ckpt.endswith(".npz"):
+        subtree, reason = (("npz", "flat npz re-export")
+                           if args.ckpt.endswith(".npz")
+                           else choose_restore_subtree(args.ckpt))
+        params = restore_params(args.ckpt, template)
+    else:
+        subtree = {"ema": "ema_params", "raw": "params"}[args.subtree]
+        reason = f"forced --subtree {args.subtree}"
+        params = _restore_partial(args.ckpt, {subtree: template})[subtree]
     n = sum(int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(params))
     save_params_npz(args.out, params, dtype=args.dtype)
+    meta = load_metadata(args.ckpt) if not args.ckpt.endswith(".npz") else {}
+    import json
+
+    with open(args.out + ".json", "w") as f:
+        json.dump({"subtree": subtree, "reason": reason,
+                   "step": meta.get("step"),
+                   "ema_decay": meta.get("ema_decay"),
+                   "source": os.path.abspath(args.ckpt)}, f)
     mb = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out}: {n / 1e6:.1f}M params, {mb:.1f} MB "
           f"({args.dtype}, compressed)")
+    print(f"exported subtree: {subtree} — {reason}")
+    print(f"VERIFY BEFORE SHIPPING: python scripts/eval_flagship.py "
+          f"--ckpt {args.out}")
     return 0
 
 

@@ -381,9 +381,13 @@ def test_ema_checkpoint_roundtrip(tiny_setup, tmp_path):
     cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
     step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
     state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    # Mark the EMA mature (decay^step < 5%) so restore_params selects it;
+    # immature-EMA fallback is covered by
+    # test_immature_ema_restore_falls_back_to_raw.
+    state = state.replace(step=jnp.asarray(100))
     path = save_checkpoint(str(tmp_path), 1, "Stage", "ds", state)
     assert checkpoint_has_ema(path)
-    # restore_params prefers EMA weights.
+    # restore_params prefers EMA weights when the EMA is mature.
     got = restore_params(path, jax.tree_util.tree_map(jnp.zeros_like, params))
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(got)[0]),
@@ -396,6 +400,102 @@ def test_ema_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(resumed.ema_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))
+
+
+def test_immature_ema_restore_falls_back_to_raw(tiny_setup, tmp_path):
+    """VERDICT r3 weak #2 regression: a preempted run whose EMA decay was
+    calibrated to the full budget leaves an EMA that is mostly random init;
+    restore_params must load the raw params instead (the r3 artifact scored
+    4.4 dB from the EMA while raw params scored 9-10 dB)."""
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        choose_restore_subtree,
+        load_metadata,
+        restore_params,
+        save_checkpoint,
+    )
+
+    model, _, schedule = tiny_setup
+    params = jax.tree_util.tree_map(jnp.array, tiny_setup[1].params)
+    state = create_train_state(params, model.apply, lr=1e-2, total_epochs=10,
+                               steps_per_epoch=5, ema_decay=0.999)
+    cfg = CompositeLossConfig(dino_weight=0, ms_ssim_weight=0, color_weight=0)
+    step = make_train_step(schedule, cfg, domain_routing=False, donate=False)
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    path = save_checkpoint(str(tmp_path), 1, "Stage", "ds", state)
+    meta = load_metadata(path)
+    assert meta["step"] == 1 and meta["ema_decay"] == 0.999
+    subtree, reason = choose_restore_subtree(path)
+    assert subtree == "params" and "immature" in reason
+    got = restore_params(path, jax.tree_util.tree_map(jnp.zeros_like, params))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
+
+def test_checkpoint_same_name_never_clobbers(tiny_setup, tmp_path):
+    """VERDICT r3 weak #1 regression: two runs saving the same
+    epoch/stage/datasets name must yield two distinct checkpoints (round 3
+    lost its weights to force=True overwrites at one shared path), and
+    auto-resume must pick the newest."""
+    import os
+
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        restore_params,
+        save_checkpoint,
+    )
+
+    model, base_state, _ = tiny_setup
+    params = jax.tree_util.tree_map(jnp.array, base_state.params)
+    s1 = create_train_state(params, model.apply, lr=1e-2, total_epochs=1,
+                            steps_per_epoch=5)
+    s2 = create_train_state(
+        jax.tree_util.tree_map(lambda a: a + 1.0, params), model.apply,
+        lr=1e-2, total_epochs=1, steps_per_epoch=5)
+    p1 = save_checkpoint(str(tmp_path), 7, "Joint_PREEMPT", "SYN", s1)
+    p2 = save_checkpoint(str(tmp_path), 7, "Joint_PREEMPT", "SYN", s2)
+    assert p1 != p2 and os.path.isdir(p1) and os.path.isdir(p2)
+    assert find_latest_checkpoint(str(tmp_path)) == p2
+    # The first run's weights are intact, not overwritten by the second's.
+    got1 = restore_params(p1, jax.tree_util.tree_map(jnp.zeros_like, params))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got1)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s1.params)[0]))
+
+
+def test_export_npz_snapshot_during_training(tmp_path):
+    """export_npz: every checkpoint save also writes a flat fp16 npz (+
+    sidecar naming the subtree/step) that restore_params loads directly —
+    the round-portable artifact (VERDICT r3 #1/#3)."""
+    import json
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    out_npz = tmp_path / "weights.npz"
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                 save_checkpoint=1, dino_weight=0.0, bf16=False,
+                 ms_ssim_weight=0.0, color_weight=0.0, ema_decay=0.9,
+                 checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "o"), num_workers=1,
+                 export_npz=str(out_npz), compilation_cache="")
+    summary = train(cfg)
+    assert out_npz.exists()
+    sidecar = json.loads((tmp_path / "weights.npz.json").read_text())
+    # 1 epoch × 1 batch at decay 0.9 → EMA immature → raw params exported.
+    assert sidecar["subtree"] == "params"
+    assert sidecar["step"] == summary["steps"] == 1
+    from hybrid_diffusion_tpu.train.checkpoint import restore_params
+
+    template = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape, a.dtype), summary["params"])
+    got = restore_params(str(out_npz), template)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(got)[0]),
+        np.asarray(jax.tree_util.tree_leaves(summary["params"])[0]),
+        rtol=2e-3, atol=2e-3)  # fp16 storage round-trip
 
 
 def test_grad_accum_matches_big_batch(tiny_setup):
