@@ -160,7 +160,20 @@ def choose_restore_subtree(path: str) -> tuple:
     (VERDICT r3 weak #2/#3)."""
     if not checkpoint_has_ema(path):
         return "params", "no EMA in checkpoint"
-    mass = ema_init_mass(load_metadata(path))
+    meta = load_metadata(path)
+    # Direct quality evidence beats the init-mass proxy: the training loop
+    # stores its latest raw-vs-EMA probe PSNR in the metadata (a "mature"
+    # EMA can still lag raw weights by many dB during fast improvement).
+    probe = meta.get("probe") or {}
+    if "psnr_ema" in probe and "psnr" in probe:
+        if probe["psnr_ema"] < probe["psnr"]:
+            return ("params",
+                    f"probe at step {probe.get('step')}: EMA "
+                    f"{probe['psnr_ema']} dB < raw {probe['psnr']} dB")
+        return ("ema_params",
+                f"probe at step {probe.get('step')}: EMA "
+                f"{probe['psnr_ema']} dB >= raw {probe['psnr']} dB")
+    mass = ema_init_mass(meta)
     if mass is None:
         return ("ema_params",
                 "EMA present, maturity unknown (legacy sidecar) — "

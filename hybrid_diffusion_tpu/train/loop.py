@@ -231,6 +231,13 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         mass = (state.ema_decay ** step
                 if state.ema_params is not None and state.ema_decay else 1.0)
         use_ema = state.ema_params is not None and mass <= EMA_INIT_MASS_THRESHOLD
+        # The init-mass test is necessary but not sufficient: during fast
+        # early improvement a "mature" EMA still lags the raw weights by
+        # many dB (measured live: 4% init mass yet 5.6 vs 14.3 dB raw).
+        # When the --eval_every probe has measured both, trust it directly.
+        probe = probe_state.get("last")
+        if state.ema_params is not None and probe and "psnr_ema" in probe:
+            use_ema = probe["psnr_ema"] >= probe["psnr"]
         out = os.path.abspath(config.export_npz)
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         t0 = time.time()
@@ -245,6 +252,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                        "ema_decay": state.ema_decay,
                        "ema_init_mass": mass if state.ema_params is not None
                        else None,
+                       "probe": probe_state.get("last"),
                        "run_id": run_id}, f)
         print(f"[export] {out}: subtree={'ema' if use_ema else 'raw'} "
               f"step={step} ({time.time() - t0:.0f}s)")
@@ -308,6 +316,15 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             if "psnr" in row:
                 rows.append(row)
         if rows:
+            # Latest probe means (across domains) feed the export subtree
+            # decision: ship EMA only when it actually scores >= raw.
+            probe_state["last"] = {
+                "step": rows[0]["step"],
+                "psnr": round(sum(r["psnr"] for r in rows) / len(rows), 3),
+            }
+            if all("psnr_ema" in r for r in rows):
+                probe_state["last"]["psnr_ema"] = round(
+                    sum(r["psnr_ema"] for r in rows) / len(rows), 3)
             import json
 
             os.makedirs(config.output_path, exist_ok=True)
@@ -442,7 +459,8 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 path = save_checkpoint(
                     config.checkpoint_dir, epoch + 1, stage_name,
                     datasets_tag, state,
-                    metadata={"stage": stage_name, "epoch": epoch + 1},
+                    metadata={"stage": stage_name, "epoch": epoch + 1,
+                              "probe": probe_state.get("last")},
                     block=not config.async_checkpoint,
                 )
                 logger.alert("checkpoint", path)
@@ -468,6 +486,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                datasets_tag, state,
                                metadata={"stage": stage_name,
                                          "epoch": epochs_done,
+                                         "probe": probe_state.get("last"),
                                          "preempted": preempt["flag"]})
         export_npz_snapshot(state)
         summary["stages"].append(

@@ -172,7 +172,10 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
-    # Pass criterion: guidance helps — best guided accuracy beats w=0.
+    # Pass criterion: guidance must STRICTLY improve over w=0 (VERDICT r3
+    # weak #5: `>=` passed trivially on 1.0-vs-1.0 ties). A sweep whose
+    # unguided accuracy is already saturated cannot demonstrate guidance —
+    # it fails with a pointer to pick a shorter budget.
     by_w = {e["w"]: e["template_accuracy"] for e in summary["sweep"]}
     positives = [v for w, v in by_w.items() if w > 0]
     if not positives:
@@ -180,9 +183,15 @@ def main() -> int:
               file=sys.stderr)
         return 0
     guided = max(positives)
-    print(f"# guided acc {guided:.3f} vs unguided {by_w.get(0.0, 0):.3f}",
+    unguided = by_w.get(0.0, 0.0)
+    print(f"# guided acc {guided:.3f} vs unguided {unguided:.3f}",
           file=sys.stderr)
-    return 0 if guided >= by_w.get(0.0, 0.0) else 1
+    if unguided >= 0.99:
+        print("# NON-DISCRIMINATIVE: unguided accuracy is saturated — "
+              "rerun with a shorter --steps budget so the sweep can show "
+              "the guidance effect", file=sys.stderr)
+        return 1
+    return 0 if guided > unguided else 1
 
 
 if __name__ == "__main__":

@@ -432,6 +432,36 @@ def test_immature_ema_restore_falls_back_to_raw(tiny_setup, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
 
 
+def test_probe_evidence_overrides_ema_maturity(tmp_path):
+    """Direct raw-vs-EMA probe PSNR stored in checkpoint metadata beats the
+    decay^step init-mass proxy: a 'mature' EMA that still lags the raw
+    weights (measured live: 4% init mass, 5.6 vs 14.3 dB) must not be the
+    eval subtree."""
+    import json
+    import os
+
+    from hybrid_diffusion_tpu.train.checkpoint import choose_restore_subtree
+
+    d = tmp_path / "ckpt_1_S_D"
+    d.mkdir()
+    meta = {"has_ema": True, "step": 3200, "ema_decay": 0.999,
+            "probe": {"step": 3200, "psnr": 14.3, "psnr_ema": 5.6}}
+    (d / "hdt_metadata.json").write_text(json.dumps(meta))
+    subtree, reason = choose_restore_subtree(str(d))
+    assert subtree == "params" and "probe" in reason
+    meta["probe"] = {"step": 39000, "psnr": 13.0, "psnr_ema": 13.9}
+    (d / "hdt_metadata.json").write_text(json.dumps(meta))
+    subtree, _ = choose_restore_subtree(str(d))
+    assert subtree == "ema_params"
+    # Without probe evidence the init-mass rule still applies.
+    del meta["probe"]
+    (d / "hdt_metadata.json").write_text(json.dumps(meta))
+    assert choose_restore_subtree(str(d))[0] == "ema_params"
+    meta["step"] = 100  # 0.999^100 = 90% init mass
+    (d / "hdt_metadata.json").write_text(json.dumps(meta))
+    assert choose_restore_subtree(str(d))[0] == "params"
+
+
 def test_checkpoint_same_name_never_clobbers(tiny_setup, tmp_path):
     """VERDICT r3 weak #1 regression: two runs saving the same
     epoch/stage/datasets name must yield two distinct checkpoints (round 3
