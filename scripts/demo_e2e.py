@@ -27,10 +27,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_config(tmp: str, args) -> "Config":
     from hybrid_diffusion_tpu.config import Config
 
+    length = args.synthetic_length or args.batch * 8
+    if args.staged:
+        # Reference two-stage recipe (rotinas.py:643-731, aplicacao.ipynb):
+        # stage 1 atmospheric, stage 2 underwater, fresh optimizer +
+        # warmup-cosine per stage, per-stage loss sets via --stageN_losses.
+        # Each staged epoch sees one domain: length/batch steps.
+        per_stage = max(args.steps // 2 // max(length // args.batch, 1), 1)
+        stage_epochs = (per_stage, per_stage)
+    else:
+        # Joint training interleaves both loaders: 2·length/batch steps/epoch.
+        stage_epochs = (max(
+            args.steps // max(2 * length // args.batch, 1) + 1, 1), 0)
     return Config(
         state="train",
         synthetic_data=True,
-        synthetic_length=args.synthetic_length or args.batch * 8,
+        synthetic_length=length,
         img_size=args.size,
         batch_size=args.batch,
         channel=args.channel,
@@ -39,14 +51,12 @@ def build_config(tmp: str, args) -> "Config":
         T=args.T,
         dropout=args.dropout,
         lr=args.lr,
-        # Calibrate the warmup-cosine schedule to end at --steps: joint
-        # training sees 2 domains × length/batch batches per epoch.
-        epochs_stage_1=max(
-            args.steps
-            // max(2 * (args.synthetic_length or args.batch * 8)
-                   // args.batch, 1) + 1, 1),
-        epochs_stage_2=0,
-        joint_training=True,
+        # Calibrate the warmup-cosine schedule to end at --steps.
+        epochs_stage_1=stage_epochs[0],
+        epochs_stage_2=stage_epochs[1],
+        joint_training=not args.staged,
+        stage1_losses=args.stage1_losses,
+        stage2_losses=args.stage2_losses,
         # EMA horizon matched to the run: ~20 effective init-free windows
         # (0.999 over 600 steps would keep 55% of the random init).
         ema_decay=min(0.999, 1.0 - 20.0 / max(args.steps, 40)),
@@ -139,6 +149,16 @@ def main() -> int:
     p.add_argument("--color_weight", type=float, default=0.0)
     p.add_argument("--dino_weight", type=float, default=0.0)
     p.add_argument("--ms_ssim_weight", type=float, default=0.0)
+    p.add_argument("--staged", action="store_true",
+                   help="reference two-stage recipe (atmospheric stage then "
+                        "underwater stage, fresh optimizer per stage) instead "
+                        "of joint interleaved training; --steps splits evenly "
+                        "across the stages")
+    p.add_argument("--stage1_losses", default="",
+                   help='per-stage loss overrides, e.g. '
+                        '"vgg=1.0,charbonnier=1.0" (run-book stage 1)')
+    p.add_argument("--stage2_losses", default="",
+                   help='e.g. "charbonnier=1.0,color=1.0,ms_ssim=0.0045"')
     p.add_argument("--aux_snr_weight", action="store_true",
                    help="scale x0-based aux losses by alpha_bar_t "
                         "(required for stability at large T)")
@@ -156,6 +176,14 @@ def main() -> int:
     p.add_argument("--keep", default=None,
                    help="keep artifacts under this dir instead of a tempdir")
     args = p.parse_args()
+
+    import jax
+
+    # The axon TPU plugin overrides JAX_PLATFORMS; HDT_PLATFORM=cpu forces
+    # a CPU run (e.g. smoke-testing while the chip is busy) — same escape
+    # hatch as scripts/demo_cfg.py.
+    if os.environ.get("HDT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HDT_PLATFORM"])
 
     from hybrid_diffusion_tpu.config import Config  # noqa: F401
     from hybrid_diffusion_tpu.train.loop import evaluate, train
@@ -182,17 +210,24 @@ def main() -> int:
     # Train.
     t0 = time.time()
     result = train(config, max_steps=args.steps)
+    final_ckpt = result["stages"][-1]["checkpoint"]
     summary["train"] = {
         "steps": result["steps"],
-        "last_loss": round(float(result["stages"][0]["last_loss"]), 4),
+        "last_loss": round(float(result["stages"][-1]["last_loss"]), 4),
         "wall_s": round(time.time() - t0, 1),
-        "checkpoint": result["stages"][0]["checkpoint"],
+        "checkpoint": final_ckpt,
+        "stages": [
+            {"stage": s["stage"],
+             "last_loss": round(float(s["last_loss"]), 4),
+             "checkpoint": s["checkpoint"]}
+            for s in result["stages"]],
     }
 
-    # Eval the trained checkpoint (restore_params prefers the EMA weights).
+    # Eval the trained checkpoint (restore_params picks the subtree the
+    # checkpoint's own probe/maturity evidence says samples best).
     t0 = time.time()
     eval_cfg = Config(**{**config.__dict__, "state": "eval",
-                         "pretrained_path": result["stages"][0]["checkpoint"]})
+                         "pretrained_path": final_ckpt})
     trained = evaluate(eval_cfg, split="val", compute_fid=False,
                        save_images=True)
     summary["trained"] = {

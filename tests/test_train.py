@@ -734,3 +734,44 @@ def test_per_stage_loss_sets(tmp_path, monkeypatch):
         assert term in stage2[-1]
     assert np.isfinite(stage1[-1]["total"])
     assert np.isfinite(stage2[-1]["total"])
+
+
+def test_demo_e2e_staged_config_plumbing():
+    """scripts/demo_e2e.py --staged maps --steps onto the reference's
+    two-stage recipe (rotinas.py:643-731): equal epoch budgets per stage,
+    joint_training off, per-stage loss overrides forwarded."""
+    import argparse
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "demo_e2e", os.path.join(os.path.dirname(__file__), os.pardir,
+                                 "scripts", "demo_e2e.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    base = dict(steps=4000, size=128, batch=16, channel=64,
+                channel_mult=[1, 2, 2], num_res_blocks=2,
+                synthetic_length=256, domain_routing=False, T=200,
+                dropout=0.1, save_every=10_000, lr=2e-4, ddim_steps=50,
+                color_weight=0.0, dino_weight=0.0, ms_ssim_weight=0.0,
+                aux_snr_weight=True, eval_every=0, eval_probe_steps=15,
+                export_npz="", resume_from=None,
+                stage1_losses="vgg=1.0,charbonnier=1.0,dino=0,color=0,"
+                              "ms_ssim=0",
+                stage2_losses="charbonnier=1.0,color=1.0,ms_ssim=0.0045,"
+                              "dino=0")
+    staged = demo.build_config(
+        "/tmp/x", argparse.Namespace(staged=True, **base))
+    # 4000 steps / 2 stages / (256/16 steps per staged epoch) = 125 each.
+    assert (staged.epochs_stage_1, staged.epochs_stage_2) == (125, 125)
+    assert staged.joint_training is False
+    s1, s2 = staged.stage_loss_config(0), staged.stage_loss_config(1)
+    assert s1.vgg_weight == 1.0 and s1.color_weight == 0.0
+    assert s2.vgg_weight == 0.0 and s2.color_weight == 1.0
+    assert s2.ms_ssim_weight == 0.0045
+    assert s1.aux_snr_weight and s2.aux_snr_weight
+
+    joint = demo.build_config(
+        "/tmp/x", argparse.Namespace(staged=False, **base))
+    assert joint.joint_training is True and joint.epochs_stage_2 == 0
