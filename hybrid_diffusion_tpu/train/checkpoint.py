@@ -106,13 +106,17 @@ def save_checkpoint(
         if _ASYNC["ckptr"] is None:
             _ASYNC["ckptr"] = ocp.StandardCheckpointer()
         wait_for_checkpoints()  # one in-flight save at a time
-        _ASYNC["ckptr"].save(path, payload, force=True)
+        # force=False: _unique_path already picked a non-existing name, so
+        # a hit here means a CONCURRENT run of the same config raced us to
+        # the path — error loudly instead of silently clobbering it (the
+        # round-3 failure mode, now closed for concurrent writers too).
+        _ASYNC["ckptr"].save(path, payload, force=False)
         _ASYNC["pending"].append((path, meta))
         return path
 
     wait_for_checkpoints()  # flush any pending async save + its metadata
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, payload, force=False)
     ckptr.wait_until_finished()
     with open(os.path.join(path, "hdt_metadata.json"), "w") as f:
         json.dump(meta, f)
@@ -151,6 +155,44 @@ def ema_init_mass(metadata: dict) -> Optional[float]:
 EMA_INIT_MASS_THRESHOLD = 0.05
 
 
+def choose_subtree_from_evidence(
+    has_ema: bool,
+    step: Optional[int] = None,
+    ema_decay: Optional[float] = None,
+    probe: Optional[dict] = None,
+) -> tuple:
+    """('ema_params'|'params', reason) — THE subtree-selection policy.
+
+    One shared implementation so training-time export (loop.py
+    export_npz_snapshot), eval-time restore (choose_restore_subtree) and
+    scripts/export_params.py can never desynchronize. Direct quality
+    evidence (the --eval_every probe's raw-vs-EMA PSNR) beats the
+    init-mass proxy: a "mature" EMA can still lag the raw weights by many
+    dB during fast improvement (measured: 4% init mass yet 5.6 vs 14.3 dB
+    raw)."""
+    if not has_ema:
+        return "params", "no EMA in checkpoint"
+    probe = probe or {}
+    if "psnr_ema" in probe and "psnr" in probe:
+        if probe["psnr_ema"] < probe["psnr"]:
+            return ("params",
+                    f"probe at step {probe.get('step')}: EMA "
+                    f"{probe['psnr_ema']} dB < raw {probe['psnr']} dB")
+        return ("ema_params",
+                f"probe at step {probe.get('step')}: EMA "
+                f"{probe['psnr_ema']} dB >= raw {probe['psnr']} dB")
+    mass = ema_init_mass({"step": step, "ema_decay": ema_decay})
+    if mass is None:
+        return ("ema_params",
+                "EMA present, maturity unknown (legacy sidecar) — "
+                "verify with an eval before shipping")
+    if mass > EMA_INIT_MASS_THRESHOLD:
+        return ("params",
+                f"EMA immature ({mass:.1%} random-init mass) — "
+                "falling back to raw params")
+    return "ema_params", f"EMA mature ({mass:.2e} residual init mass)"
+
+
 def choose_restore_subtree(path: str) -> tuple:
     """('ema_params'|'params', reason) — which subtree eval should load.
 
@@ -161,28 +203,8 @@ def choose_restore_subtree(path: str) -> tuple:
     if not checkpoint_has_ema(path):
         return "params", "no EMA in checkpoint"
     meta = load_metadata(path)
-    # Direct quality evidence beats the init-mass proxy: the training loop
-    # stores its latest raw-vs-EMA probe PSNR in the metadata (a "mature"
-    # EMA can still lag raw weights by many dB during fast improvement).
-    probe = meta.get("probe") or {}
-    if "psnr_ema" in probe and "psnr" in probe:
-        if probe["psnr_ema"] < probe["psnr"]:
-            return ("params",
-                    f"probe at step {probe.get('step')}: EMA "
-                    f"{probe['psnr_ema']} dB < raw {probe['psnr']} dB")
-        return ("ema_params",
-                f"probe at step {probe.get('step')}: EMA "
-                f"{probe['psnr_ema']} dB >= raw {probe['psnr']} dB")
-    mass = ema_init_mass(meta)
-    if mass is None:
-        return ("ema_params",
-                "EMA present, maturity unknown (legacy sidecar) — "
-                "verify with an eval before shipping")
-    if mass > EMA_INIT_MASS_THRESHOLD:
-        return ("params",
-                f"EMA immature ({mass:.1%} random-init mass) — "
-                "falling back to raw params")
-    return "ema_params", f"EMA mature ({mass:.2e} residual init mass)"
+    return choose_subtree_from_evidence(
+        True, meta.get("step"), meta.get("ema_decay"), meta.get("probe"))
 
 
 def checkpoint_has_ema(path: str) -> bool:

@@ -210,6 +210,38 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     rng = jax.random.PRNGKey(config.seed)
     summary = {"stages": [], "steps": 0, "preempted": False}
     resumed = False
+    # Stage-aware resume: resolve the checkpoint up front and read which
+    # stage it belongs to, so a staged run preempted in stage 2 resumes
+    # INTO stage 2 (not into stage 1's loss set on stage-2 weights), and a
+    # stage-final checkpoint resumes at the NEXT stage.
+    resume_path = None
+    resume_start_stage = 0
+    if config.resume_from:
+        resume_path = config.resume_from
+        if resume_path == "auto":
+            resume_path = find_latest_checkpoint(config.checkpoint_dir)
+            if resume_path is None:
+                raise FileNotFoundError(
+                    f"--resume_from auto: no ckpt_* directories under "
+                    f"{config.checkpoint_dir}")
+        from .checkpoint import load_metadata
+
+        ck_meta = load_metadata(resume_path)
+        stage_names = [s[0] for s in stages]
+        resume_stage_finished = False
+        if ck_meta.get("stage") in stage_names:
+            idx = stage_names.index(ck_meta["stage"])
+            finished = (not ck_meta.get("preempted", False)
+                        and "_final_" in os.path.basename(resume_path))
+            # A finished FINAL stage still enters that stage (its budget
+            # check runs zero steps and re-saves), keeping summary shape.
+            resume_start_stage = min(idx + (1 if finished else 0),
+                                     len(stages) - 1)
+            # Crossing a stage boundary restores params (+EMA) only — the
+            # next stage gets the fresh optimizer + restarted warmup-cosine
+            # the reference's per-stage semantics demand (rotinas.py:660),
+            # not the finished stage's moments and schedule step.
+            resume_stage_finished = finished and resume_start_stage > idx
     # Short run id baked into stage-final/preempt checkpoint names so two
     # runs of the same config can never share a directory (VERDICT r3
     # weak #1: the configured-epoch-total naming made every rerun clobber
@@ -225,35 +257,39 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         if not config.export_npz:
             return
         from ..utils.params_io import save_params_npz
-        from .checkpoint import EMA_INIT_MASS_THRESHOLD
+        from .checkpoint import choose_subtree_from_evidence
 
         step = int(jax.device_get(state.step))
-        mass = (state.ema_decay ** step
-                if state.ema_params is not None and state.ema_decay else 1.0)
-        use_ema = state.ema_params is not None and mass <= EMA_INIT_MASS_THRESHOLD
-        # The init-mass test is necessary but not sufficient: during fast
-        # early improvement a "mature" EMA still lags the raw weights by
-        # many dB (measured live: 4% init mass yet 5.6 vs 14.3 dB raw).
-        # When the --eval_every probe has measured both, trust it directly.
-        probe = probe_state.get("last")
-        if state.ema_params is not None and probe and "psnr_ema" in probe:
-            use_ema = probe["psnr_ema"] >= probe["psnr"]
+        has_ema = state.ema_params is not None and bool(state.ema_decay)
+        # The SAME policy eval-time restore uses (checkpoint.py): probe
+        # evidence first, decay^step init-mass proxy second — training
+        # export and eval restore can never pick different subtrees.
+        subtree, reason = choose_subtree_from_evidence(
+            has_ema, step, state.ema_decay, probe_state.get("last"))
+        use_ema = subtree == "ema_params"
         out = os.path.abspath(config.export_npz)
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         t0 = time.time()
-        tmp = out + ".tmp.npz"
+        # pid-unique temp names: two concurrent runs sharing --export_npz
+        # must not interleave writes into one temp file.
+        tmp = f"{out}.tmp.{os.getpid()}.npz"
         save_params_npz(tmp, state.ema_params if use_ema else state.params)
-        os.replace(tmp, out)
         import json
 
-        with open(out + ".json", "w") as f:
+        side_tmp = f"{out}.json.tmp.{os.getpid()}"
+        with open(side_tmp, "w") as f:
             json.dump({"step": step,
-                       "subtree": "ema_params" if use_ema else "params",
+                       "subtree": subtree,
+                       "reason": reason,
                        "ema_decay": state.ema_decay,
-                       "ema_init_mass": mass if state.ema_params is not None
-                       else None,
+                       "ema_init_mass": (state.ema_decay ** step
+                                         if has_ema else None),
                        "probe": probe_state.get("last"),
                        "run_id": run_id}, f)
+        # npz then sidecar, both atomic — a crash between the two leaves a
+        # stale sidecar for at most one cadence, never a truncated one.
+        os.replace(tmp, out)
+        os.replace(side_tmp, out + ".json")
         print(f"[export] {out}: subtree={'ema' if use_ema else 'raw'} "
               f"step={step} ({time.time() - t0:.0f}s)")
 
@@ -267,6 +303,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         from ..diffusion import dpm_solver_pp_2m_sample
         from ..metrics import psnr as _psnr
 
+        # The default probe budget can exceed a tiny-T debug schedule —
+        # clamp rather than error (the probe is diagnostic, not the eval).
+        probe_steps = min(config.eval_probe_steps, config.T)
         if probe_state["fn"] is None:
             def _sample(p, cond_u8, sub):
                 cond = normalize_uint8(cond_u8)
@@ -276,7 +315,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
 
                 out = dpm_solver_pp_2m_sample(
                     denoise, schedule, cond, sub,
-                    steps=config.eval_probe_steps, guidance_scale=1.0)
+                    steps=probe_steps, guidance_scale=1.0)
                 return (out + 1.0) / 2.0
 
             probe_state["fn"] = jax.jit(_sample)
@@ -298,7 +337,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 variants.append(("psnr_ema", state.ema_params))
             row = {"stage": stage_name, "epoch": epoch + 1,
                    "step": int(state.step), "domain": dom,
-                   "probe_steps": config.eval_probe_steps,
+                   "probe_steps": probe_steps,
                    "time": time.time()}
             for key, probe_params in variants:
                 total, n = 0.0, 0
@@ -340,6 +379,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     for stage_index, (stage_name, domain, stage_epochs) in enumerate(stages):
         if stage_epochs <= 0:
             continue
+        if stage_index < resume_start_stage:
+            print(f"[train] resume: skipping completed stage {stage_name}")
+            continue
         # A ragged final batch cannot shard over the data axis (and would
         # trigger a recompile even single-device) — drop it when the batch
         # doesn't divide, like DistributedSampler padding rounds off.
@@ -368,32 +410,46 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         )
         state = shard_state(mesh, state, zero1=config.zero1)
         step_fn = stage_step_fn(stage_cfgs[stage_index], state)
-        if config.resume_from and not resumed:
-            # Full-state resume: params + optimizer moments + step, so the
-            # warmup-cosine schedule continues instead of restarting (the
-            # reference loses optimizer state on resume, SURVEY.md §5.4).
-            # "auto" → newest checkpoint in checkpoint_dir (post-preemption).
-            resume_path = config.resume_from
-            if resume_path == "auto":
-                resume_path = find_latest_checkpoint(config.checkpoint_dir)
-                if resume_path is None:
-                    raise FileNotFoundError(
-                        f"--resume_from auto: no ckpt_* directories under "
-                        f"{config.checkpoint_dir}")
-            state = restore_state(resume_path, state)
+        if resume_path and not resumed:
+            if resume_stage_finished:
+                # Stage-boundary resume: weights only; this stage keeps its
+                # fresh optimizer and restarted warmup-cosine (the
+                # reference's per-stage semantics, rotinas.py:660).
+                from .checkpoint import _restore_partial, checkpoint_has_ema
+
+                item = {"params": state.params}
+                if (state.ema_params is not None
+                        and checkpoint_has_ema(resume_path)):
+                    item["ema_params"] = state.ema_params
+                restored = _restore_partial(resume_path, item)
+                state = state.replace(
+                    params=restored["params"],
+                    **({"ema_params": restored["ema_params"]}
+                       if "ema_params" in restored else {}))
+                # Global budget still counts the finished stages' steps.
+                summary["steps"] = int(ck_meta.get("step") or 0)
+                print(f"[train] resumed params from finished stage "
+                      f"checkpoint {resume_path} "
+                      f"(step {summary['steps']}, fresh optimizer)")
+            else:
+                # Full-state resume: params + optimizer moments + step, so
+                # the warmup-cosine schedule continues instead of
+                # restarting (the reference loses optimizer state on
+                # resume, SURVEY.md §5.4).
+                state = restore_state(resume_path, state)
+                # Count the restored optimizer step against max_steps so a
+                # resumed run finishes the ORIGINAL budget (and its cosine
+                # schedule) instead of appending a whole new budget at
+                # end-LR. (One device sync, once. Micro-step counts differ
+                # from optimizer steps under grad_accum>1; the budget is
+                # in optimizer steps then — the schedule's own clock.)
+                summary["steps"] = int(state.step)
+                print(f"[train] resumed full state from {resume_path} "
+                      f"(step {int(state.step)})")
             # Orbax may restore leaves without the template's placement —
             # re-pin (no-op when shardings already match).
             state = shard_state(mesh, state, zero1=config.zero1)
             resumed = True
-            # Count the restored optimizer step against max_steps so a
-            # resumed run finishes the ORIGINAL budget (and its cosine
-            # schedule) instead of appending a whole new budget at end-LR.
-            # (One device sync, once. Micro-step counts differ from
-            # optimizer steps under grad_accum>1; the budget is in
-            # optimizer steps then — the schedule's own clock.)
-            summary["steps"] = int(state.step)
-            print(f"[train] resumed full state from {resume_path} "
-                  f"(step {int(state.step)})")
 
         last_metrics: dict = {}
         metrics = None  # set by the first executed step
@@ -452,6 +508,14 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 raise FloatingPointError(
                     f"non-finite loss at {stage_name} epoch {epoch+1}; "
                     f"emergency checkpoint: {path}")
+            # Probe BEFORE save: at coincident cadences the checkpoint
+            # metadata and the exported npz carry evidence from the state
+            # being saved, not from eval_every epochs ago (during fast
+            # improvement a stale probe can flip the subtree choice).
+            if config.eval_every and (epoch + 1) % config.eval_every == 0:
+                run_eval_probe(state, stage_name,
+                               ("atmospheric", "underwater")
+                               if domain == "both" else (domain,), epoch)
             if (epoch + 1) % config.save_checkpoint == 0:
                 # Periodic saves overlap training (async): save() returns
                 # after the D2H copy; the disk write rides a background
@@ -465,10 +529,6 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 )
                 logger.alert("checkpoint", path)
                 export_npz_snapshot(state)
-            if config.eval_every and (epoch + 1) % config.eval_every == 0:
-                run_eval_probe(state, stage_name,
-                               ("atmospheric", "underwater")
-                               if domain == "both" else (domain,), epoch)
             if max_steps and summary["steps"] >= max_steps:
                 break
             if preempt["flag"]:

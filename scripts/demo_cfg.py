@@ -186,7 +186,9 @@ def main() -> int:
     unguided = by_w.get(0.0, 0.0)
     print(f"# guided acc {guided:.3f} vs unguided {unguided:.3f}",
           file=sys.stderr)
-    if unguided >= 0.99:
+    if unguided >= 1.0:
+        # Improvement is impossible only at exactly 1.0; at e.g. 0.99 a
+        # strict improvement to 1.0 is still a valid demonstration.
         print("# NON-DISCRIMINATIVE: unguided accuracy is saturated — "
               "rerun with a shorter --steps budget so the sweep can show "
               "the guidance effect", file=sys.stderr)

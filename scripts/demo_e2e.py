@@ -211,14 +211,17 @@ def main() -> int:
     t0 = time.time()
     result = train(config, max_steps=args.steps)
     final_ckpt = result["stages"][-1]["checkpoint"]
+
+    def _loss(v):  # a stage that ran zero steps (budget already met) → None
+        return round(float(v), 4) if v is not None else None
+
     summary["train"] = {
         "steps": result["steps"],
-        "last_loss": round(float(result["stages"][-1]["last_loss"]), 4),
+        "last_loss": _loss(result["stages"][-1]["last_loss"]),
         "wall_s": round(time.time() - t0, 1),
         "checkpoint": final_ckpt,
         "stages": [
-            {"stage": s["stage"],
-             "last_loss": round(float(s["last_loss"]), 4),
+            {"stage": s["stage"], "last_loss": _loss(s["last_loss"]),
              "checkpoint": s["checkpoint"]}
             for s in result["stages"]],
     }

@@ -61,7 +61,7 @@ def main() -> int:
     from hybrid_diffusion_tpu.train.loop import evaluate, train
 
     tmp = args.keep or tempfile.mkdtemp(prefix="hdt_staged_")
-    steps_per_epoch = args.synthetic_length // args.batch
+    steps_per_epoch = max(args.synthetic_length // args.batch, 1)
     stage_epochs = max(args.steps_per_stage // steps_per_epoch, 1)
     config = Config(
         state="train",
@@ -103,7 +103,8 @@ def main() -> int:
                    "aux_snr_weight": True},
         "stages": [
             {"stage": s["stage"],
-             "last_loss": round(float(s["last_loss"]), 4),
+             "last_loss": (round(float(s["last_loss"]), 4)
+                           if s["last_loss"] is not None else None),
              "checkpoint": s["checkpoint"]}
             for s in result["stages"]],
         "train": {"steps": result["steps"],

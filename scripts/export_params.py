@@ -82,10 +82,18 @@ def main() -> int:
     t = jnp.zeros((1,), jnp.int32)
     template = jax.eval_shape(model.init, jax.random.PRNGKey(0), x6, t)
 
-    if args.subtree == "auto" or args.ckpt.endswith(".npz"):
-        subtree, reason = (("npz", "flat npz re-export")
-                           if args.ckpt.endswith(".npz")
-                           else choose_restore_subtree(args.ckpt))
+    if args.ckpt.endswith(".npz"):
+        if args.subtree != "auto":
+            # A flat npz holds exactly one subtree — honoring a forced
+            # ema/raw choice is impossible; silently re-exporting whatever
+            # the npz contains would repeat round 3's shipped-EMA mistake.
+            p.error(f"--subtree {args.subtree} cannot be honored for a flat "
+                    ".npz input (it holds a single already-selected "
+                    "subtree); re-export from the orbax checkpoint dir")
+        subtree, reason = "npz", "flat npz re-export"
+        params = restore_params(args.ckpt, template)
+    elif args.subtree == "auto":
+        subtree, reason = choose_restore_subtree(args.ckpt)
         params = restore_params(args.ckpt, template)
     else:
         subtree = {"ema": "ema_params", "raw": "params"}[args.subtree]

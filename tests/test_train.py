@@ -775,3 +775,64 @@ def test_demo_e2e_staged_config_plumbing():
     joint = demo.build_config(
         "/tmp/x", argparse.Namespace(staged=False, **base))
     assert joint.joint_training is True and joint.epochs_stage_2 == 0
+
+
+def test_stage_final_resume_enters_next_stage(tmp_path, capsys):
+    """Resuming from a stage-1 FINAL checkpoint skips stage 1 and runs
+    stage 2 on the restored weights with a FRESH optimizer — the
+    reference's per-stage semantics (rotinas.py:660: new AdamW + warmup
+    per stage), not stage 1's moments and schedule step."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    base = dict(synthetic_data=True, synthetic_length=8, batch_size=8,
+                img_size=16, channel=32, channel_mult=(1, 2),
+                num_res_blocks=1, T=8, save_checkpoint=10_000,
+                dino_weight=0.0, bf16=False, ms_ssim_weight=0.0,
+                color_weight=0.0, joint_training=False,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                output_path=str(tmp_path / "out"))
+    s1 = train(Config(epochs_stage_1=2, epochs_stage_2=0, **base))
+    ck = s1["stages"][-1]["checkpoint"]
+    assert "_final_" in ck and "Atmospheric" in ck
+
+    s2 = train(Config(epochs_stage_1=2, epochs_stage_2=1,
+                      resume_from=ck, **base))
+    out = capsys.readouterr().out
+    # Stage 1 was skipped; only stage 2 ran in this invocation.
+    assert [st["stage"] for st in s2["stages"]] == ["Underwater"]
+    assert "skipping completed stage Atmospheric" in out
+    assert "fresh optimizer" in out
+    assert not s2["preempted"]
+
+
+def test_mid_stage2_resume_skips_stage1(tmp_path, capsys):
+    """A run cut short inside stage 2 must resume INTO stage 2 (full
+    state: params + optimizer moments + step), not replay stage 1's loss
+    set over the stage-2 weights."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    base = dict(synthetic_data=True, synthetic_length=8, batch_size=8,
+                img_size=16, channel=32, channel_mult=(1, 2),
+                num_res_blocks=1, T=8, save_checkpoint=10_000,
+                dino_weight=0.0, bf16=False, ms_ssim_weight=0.0,
+                color_weight=0.0, joint_training=False,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                output_path=str(tmp_path / "out"))
+    # Stage 1 is one epoch (1 step); the global budget stops the run two
+    # steps into stage 2's 2000-epoch plan.
+    s1 = train(Config(epochs_stage_1=1, epochs_stage_2=2000, **base),
+               max_steps=3)
+    assert s1["steps"] == 3
+    ck = s1["stages"][-1]["checkpoint"]
+    assert "Underwater" in ck
+    capsys.readouterr()
+
+    s2 = train(Config(epochs_stage_1=1, epochs_stage_2=2000,
+                      resume_from="auto", **base), max_steps=5)
+    out = capsys.readouterr().out
+    assert "skipping completed stage Atmospheric" in out
+    assert "resumed full state" in out
+    assert [st["stage"] for st in s2["stages"]] == ["Underwater"]
+    assert s2["steps"] == 5
