@@ -125,6 +125,7 @@ class Config:
     epoch: int = 2000                         # eval-time checkpoint selector
     seed: int = 0
     num_workers: int = 4
+    device_data: bool = False                 # keep train corpus in HBM; gather batches on device
     compilation_cache: str = ".jax_cache"
 
     def pprint(self) -> None:

@@ -136,6 +136,106 @@ class BatchLoader:
             stop.set()
 
 
+class DeviceBatchLoader:
+    """BatchLoader-compatible iterator whose corpus is device-resident.
+
+    The whole dataset is staged to the device ONCE at construction
+    (uint8, so a 512-pair 256² corpus is ~200 MB of HBM — small next to
+    16 GB); every epoch's batches are then gathered on device by a jitted
+    ``take`` over a tiny per-batch index array. Two reasons:
+
+      - TPU-idiomatic ingestion: re-streaming an in-memory corpus over
+        PCIe/the tunnel every epoch spends host↔device bandwidth to move
+        bytes the device already has; gathers ride HBM bandwidth instead.
+      - The experimental `axon` PJRT plugin leaks host RAM proportional
+        to every H2D transfer (measured ~6 MB per 6.3 MB `device_put`),
+        which OOM-kills multi-hour 256² runs near 22k steps; with the
+        corpus resident, per-step traffic is a ~64-byte index vector.
+
+    Batch composition is bit-identical to ``BatchLoader`` for the same
+    ``(seed, epoch, batch_size, drop_last)``: the identical
+    ``RandomState(seed + epoch)`` shuffle over the identical index space.
+    Multi-host sharding is not supported (each host would need its own
+    resident shard); construction fails loudly rather than duplicating
+    the corpus per process. Replaces the host path of the reference's
+    DataLoader (rotinas.py:593-605) for corpora that fit in HBM.
+    """
+
+    device_resident = True
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        sharding=None,
+        keys: tuple = ("input", "gt"),
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "DeviceBatchLoader is single-process; use BatchLoader with "
+                "shard_hosts=True for multi-host input")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.n = len(dataset)
+        host: dict = {k: [] for k in keys}
+        self.names: list = []
+        for i in range(self.n):
+            item = dataset[i]
+            for k in keys:
+                host[k].append(np.asarray(item[k]))
+            self.names.append(item.get("name"))
+        corpus = {k: np.stack(v) for k, v in host.items()}
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # Corpus replicated over the mesh; the gather's output lands
+            # directly on the batch sharding (no host round-trip).
+            rep = NamedSharding(sharding.mesh, PartitionSpec())
+            self.corpus = {k: jax.device_put(v, rep)
+                           for k, v in corpus.items()}
+        else:
+            self.corpus = {k: jax.device_put(v) for k, v in corpus.items()}
+
+        def _take(corpus, idx):
+            return {k: jnp.take(v, idx, axis=0) for k, v in corpus.items()}
+
+        self._gather = jax.jit(
+            _take, **({"out_shardings": sharding} if sharding else {}))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __len__(self) -> int:
+        return (self.n // self.batch_size if self.drop_last
+                else -(-self.n // self.batch_size))
+
+    def __iter__(self) -> Iterator[dict]:
+        import jax.numpy as jnp
+
+        idx = self._indices()
+        for b in range(len(self)):
+            batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            out = dict(self._gather(self.corpus,
+                                    jnp.asarray(batch_idx, jnp.int32)))
+            out["name"] = [self.names[i] for i in batch_idx]
+            yield out
+
+
 def device_prefetch(iterator: Iterator[dict], sharding=None,
                     depth: int = 2) -> Iterator[dict]:
     """Overlap host→device transfer with device compute.

@@ -98,13 +98,22 @@ def _dataset_name(config: Config, domain: str) -> str:
 
 
 def _loader(config: Config, domain: str, task: str,
-            shuffle: bool, drop_last: bool = False) -> BatchLoader:
+            shuffle: bool, drop_last: bool = False, sharding=None):
     ds = make_dataset(
         _dataset_name(config, domain), task=task,
         dataset_path=config.dataset_path, image_size=config.img_size,
         supervised=config.supervised,
         synthetic_length=config.synthetic_length,
     )
+    # Training corpora can live in HBM (device_data): batches are gathered
+    # on device from one resident copy, so per-step host→device traffic is
+    # an index vector instead of the images (data/pipeline.py rationale).
+    if config.device_data and task == "train" and jax.process_count() == 1:
+        from ..data.pipeline import DeviceBatchLoader
+
+        return DeviceBatchLoader(ds, config.batch_size, shuffle=shuffle,
+                                 seed=config.seed, drop_last=drop_last,
+                                 sharding=sharding)
     return BatchLoader(ds, config.batch_size, shuffle=shuffle,
                        seed=config.seed, num_workers=config.num_workers,
                        drop_last=drop_last,
@@ -323,10 +332,14 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         for dom in probe_domains:
             if dom not in probe_state["batches"]:
                 ld = _loader(config, dom, "val", shuffle=False)
-                # Pinned once; the jitted probe compiles per distinct batch
-                # shape, so at most one extra compile for a ragged tail.
+                # Pinned once — inputs as DEVICE arrays, so repeated probes
+                # re-transfer nothing (the axon plugin leaks host RAM per
+                # H2D transfer; gt stays host-side for the numpy PSNR).
+                # The jitted probe compiles per distinct batch shape, so at
+                # most one extra compile for a ragged tail.
                 probe_state["batches"][dom] = [
-                    {"input": b["input"], "gt": b["gt"]}
+                    {"input": jax.device_put(np.asarray(b["input"])),
+                     "gt": b["gt"]}
                     for _, b in zip(range(config.eval_probe_batches), ld)]
             # Score raw params AND the EMA (when kept): an immature EMA can
             # sit far below the raw weights (r3: 4.4 vs 9-10 dB) and that
@@ -343,7 +356,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 total, n = 0.0, 0
                 for bi, b in enumerate(probe_state["batches"][dom]):
                     out = np.asarray(probe_state["fn"](
-                        probe_params, jnp.asarray(b["input"]),
+                        probe_params, b["input"],
                         jax.random.PRNGKey(config.seed + bi)))
                     out_u8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
                     for i in range(out_u8.shape[0]):
@@ -386,16 +399,18 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         # trigger a recompile even single-device) — drop it when the batch
         # doesn't divide, like DistributedSampler padding rounds off.
         drop_last = mesh.devices.size > 1
+        train_sharding = batch_sharding(mesh) if config.device_data else None
         if domain == "both":
             loaders = [
                 _loader(config, "atmospheric", "train", shuffle=True,
-                        drop_last=drop_last),
+                        drop_last=drop_last, sharding=train_sharding),
                 _loader(config, "underwater", "train", shuffle=True,
-                        drop_last=drop_last),
+                        drop_last=drop_last, sharding=train_sharding),
             ]
         else:
             loaders = [_loader(config, domain, "train", shuffle=True,
-                               drop_last=drop_last)]
+                               drop_last=drop_last,
+                               sharding=train_sharding)]
         # The LR schedule counts optimizer updates: with grad accumulation,
         # k micro-batches advance it once.
         steps_per_epoch = max(
@@ -460,12 +475,21 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             batch_iter = (iter(loaders[0]) if len(loaders) == 1
                           else interleave(*loaders))
             t_epoch = time.time()
-            # Host→device copies of the next batches overlap the current
-            # step (device_prefetch); uint8 on the wire, normalize on-device.
-            batches = device_prefetch(
-                ({"input": b["input"], "gt": b["gt"]} for b in batch_iter),
-                sharding=batch_sharding(mesh),
-            )
+            if getattr(loaders[0], "device_resident", False):
+                # Batches are already device arrays on the batch sharding
+                # (DeviceBatchLoader gathers on device); a device_put here
+                # would be a pointless round-trip.
+                batches = ({"input": b["input"], "gt": b["gt"]}
+                           for b in batch_iter)
+            else:
+                # Host→device copies of the next batches overlap the
+                # current step (device_prefetch); uint8 on the wire,
+                # normalize on-device.
+                batches = device_prefetch(
+                    ({"input": b["input"], "gt": b["gt"]}
+                     for b in batch_iter),
+                    sharding=batch_sharding(mesh),
+                )
             for arrays in batches:
                 # Budget check BEFORE the step: a resumed run whose
                 # restored step already meets max_steps must run zero.

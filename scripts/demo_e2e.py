@@ -105,6 +105,10 @@ def build_config(tmp: str, args) -> "Config":
         # best sampling weights (mature EMA, else raw) to this npz path —
         # a git-committable artifact outside the wiped output/ tree.
         export_npz=args.export_npz,
+        # HBM-resident corpus: gathers batches on device; per-step H2D
+        # traffic drops to an index vector (required for multi-hour runs —
+        # the axon plugin leaks host RAM per H2D transfer, CLAUDE.md).
+        device_data=args.device_data,
     )
 
 
@@ -170,6 +174,9 @@ def main() -> int:
     p.add_argument("--resume_from", default=None,
                    help='checkpoint to resume full state from ("auto" = '
                         "newest under --keep/ckpt)")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the train corpus in HBM and gather batches "
+                        "on device (no per-step image H2D)")
     p.add_argument("--skip_floor", action="store_true",
                    help="skip the untrained-floor eval (already recorded)")
     p.add_argument("--out", default=None, help="write JSON summary here")

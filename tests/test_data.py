@@ -173,3 +173,44 @@ def test_paired_dataset_fused_batch_matches_per_item(tmp_path):
     batch = next(iter(BatchLoader(ds, 4, shuffle=False, drop_last=False)))
     assert batch["input"].shape == (4, 16, 16, 3)
     assert batch["gt"].dtype == np.uint8
+
+
+def test_device_batch_loader_matches_host_loader():
+    """DeviceBatchLoader must yield bit-identical batch composition to
+    BatchLoader for the same (seed, epoch): same RandomState shuffle over
+    the same index space, same drop_last rounding."""
+    from hybrid_diffusion_tpu.data.pipeline import DeviceBatchLoader
+
+    ds = SyntheticPairedDataset(length=10, image_size=16, seed=3)
+    host = BatchLoader(ds, 4, shuffle=True, seed=7, drop_last=True)
+    dev = DeviceBatchLoader(ds, 4, shuffle=True, seed=7, drop_last=True)
+    assert len(host) == len(dev) == 2
+    for epoch in (0, 1, 5):
+        host.set_epoch(epoch)
+        dev.set_epoch(epoch)
+        for hb, db in zip(host, dev):
+            np.testing.assert_array_equal(hb["input"], np.asarray(db["input"]))
+            np.testing.assert_array_equal(hb["gt"], np.asarray(db["gt"]))
+            assert hb["name"] == db["name"]
+
+
+def test_device_batch_loader_sharded_gather():
+    """With a batch sharding, gathered batches land on the mesh data axis
+    directly (no host round-trip) and still match the host loader."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from hybrid_diffusion_tpu.data.pipeline import DeviceBatchLoader
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("data",))
+    sharding = NamedSharding(mesh, PartitionSpec("data"))
+    ds = SyntheticPairedDataset(length=16, image_size=8, seed=1)
+    host = BatchLoader(ds, 8, shuffle=True, seed=0, drop_last=True)
+    dev = DeviceBatchLoader(ds, 8, shuffle=True, seed=0, drop_last=True,
+                            sharding=sharding)
+    host.set_epoch(2)
+    dev.set_epoch(2)
+    for hb, db in zip(host, dev):
+        assert db["input"].sharding.is_equivalent_to(sharding, ndim=4)
+        np.testing.assert_array_equal(hb["input"], np.asarray(db["input"]))

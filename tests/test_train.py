@@ -836,3 +836,23 @@ def test_mid_stage2_resume_skips_stage1(tmp_path, capsys):
     assert "resumed full state" in out
     assert [st["stage"] for st in s2["stages"]] == ["Underwater"]
     assert s2["steps"] == 5
+
+
+def test_train_with_device_resident_data(tmp_path):
+    """device_data=True trains end-to-end: corpus staged to device once,
+    batches gathered on-device (the per-step H2D leak mitigation for the
+    axon plugin, and the idiomatic ingestion for HBM-sized corpora)."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    result = train(Config(
+        state="train", synthetic_data=True, synthetic_length=16,
+        batch_size=8, img_size=16, channel=32, channel_mult=(1, 2),
+        num_res_blocks=1, T=8, save_checkpoint=10_000, dino_weight=0.0,
+        bf16=False, ms_ssim_weight=0.0, color_weight=0.0,
+        joint_training=True, epochs_stage_1=2, epochs_stage_2=0,
+        device_data=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_path=str(tmp_path / "out")))
+    assert result["steps"] == 8  # 2 epochs x 2 domains x 16//8 batches
+    assert np.isfinite(result["stages"][-1]["last_loss"])
