@@ -756,7 +756,7 @@ def test_demo_e2e_staged_config_plumbing():
                 dropout=0.1, save_every=10_000, lr=2e-4, ddim_steps=50,
                 color_weight=0.0, dino_weight=0.0, ms_ssim_weight=0.0,
                 aux_snr_weight=True, eval_every=0, eval_probe_steps=15,
-                export_npz="", resume_from=None,
+                export_npz="", resume_from=None, device_data=False,
                 stage1_losses="vgg=1.0,charbonnier=1.0,dino=0,color=0,"
                               "ms_ssim=0",
                 stage2_losses="charbonnier=1.0,color=1.0,ms_ssim=0.0045,"
