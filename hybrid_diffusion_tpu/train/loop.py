@@ -749,6 +749,10 @@ def evaluate(config: Config, split: str = "test",
         time_cost = time.time() - t0
         res = {k: v / max(n, 1) for k, v in sums.items()}
         res["fid"] = stream.compute() if (stream and n) else float("nan")
+        if fid_model is not None:
+            # 1.0 = Inception-weights FID; 0.0 = He-rescaled random-feature
+            # FID (self-consistent only — metrics/fid.py module docstring).
+            res["fid_pretrained"] = 1.0 if fid_model.pretrained else 0.0
         res["n_images"] = n
         res["time_cost"] = time_cost
         results[domain] = res

@@ -215,6 +215,27 @@ def test_fid_feature_dim(fid):
     assert f.shape == (2, 2048)
 
 
+def test_fid_random_init_is_discriminative(fid):
+    """Regression for the round-4 degenerate FID: with flax-default
+    (lecun) random init the deep ReLU chain collapsed features to ~1e-5
+    and FID was ~1e-7 for ANY input pair. The He-rescaled random mode
+    must (a) keep feature magnitude alive and (b) separate a real
+    distortion from same-distribution sampling noise by a wide margin."""
+    assert fid.feature_mode == "random_he"
+    rng = np.random.RandomState(7)
+    base = rng.rand(12, 64, 64, 3).astype(np.float32)
+    same = rng.rand(12, 64, 64, 3).astype(np.float32)
+    blur = (base[:, :-1] + base[:, 1:]) / 2.0
+    blur = np.concatenate([blur, blur[:, -1:]], axis=1)
+    feats = fid.extract_features(base)
+    assert np.abs(feats).mean() > 1e-3  # not collapsed
+    floor = fid.compute_fid(base, same)
+    dist = fid.compute_fid(base, blur)
+    # measured gap ≈4.4× at this size/count (0.012 vs 0.053); with the
+    # pre-fix lecun init both values are ~1e-7 and the ratio ~1.
+    assert dist > 3.0 * floor, (floor, dist)
+
+
 def test_frechet_eigh_matches_scipy_sqrtm():
     """Eigendecomposition trace form == reference scipy sqrtm form
     (metrics.py:498-506) on full-rank and rank-deficient cases."""
