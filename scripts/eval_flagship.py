@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -80,7 +81,10 @@ def main() -> int:
         "checkpoint": args.ckpt,
         "sampler": args.sampler or "ddim",
         "steps": args.ddim_steps,
-        "results": {d: {k: round(float(v), 3) for k, v in r.items()}
+        # Drop non-finite values (e.g. fid=NaN when --fid is off): bare
+        # NaN tokens make the file invalid strict JSON.
+        "results": {d: {k: round(float(v), 3) for k, v in r.items()
+                        if math.isfinite(float(v))}
                     for d, r in results.items()},
         "eval_wall_s": round(time.time() - t0, 1),
     }
