@@ -40,6 +40,30 @@ def test_color_orthogonal_is_one():
     assert np.isclose(float(angular_color_loss(a, b)), 1.0, atol=1e-6)
 
 
+def test_color_dark_pixel_gradient_bounded():
+    # Regression (round 4): the per-pixel *unweighted* mean cosine has
+    # ~1/√eps ≈ 1e4 gradients at pixels where both color vectors are near
+    # zero — dark pixels in otherwise-normal images spiked flagship
+    # fine-tune gradient norms 24→1200. The norm-weighted form must keep
+    # per-pixel gradients O(1/n_pixels) there.
+    x = _img(3, (1, 8, 8, 3))
+    y = _img(4, (1, 8, 8, 3))
+    x = x.at[0, :4, :4].set(1e-4)  # a dark patch in both images
+    y = y.at[0, :4, :4].set(2e-4)
+    g = jax.grad(lambda a: angular_color_loss(a, y))(x)
+    assert float(jnp.max(jnp.abs(g[0, :4, :4]))) < 1.0
+    assert np.isfinite(float(jnp.max(jnp.abs(g))))
+
+
+def test_color_discriminates_hue_shift():
+    # The weighted mean must still behave as a color-angle penalty:
+    # channel-swapped images score much worse than identical ones.
+    x = _img(5)
+    swapped = x[..., ::-1]
+    assert float(angular_color_loss(x, swapped)) > 0.05
+    assert float(angular_color_loss(x, x)) < 1e-6
+
+
 # --- charbonnier ---
 
 def test_charbonnier_zero_and_l1_limit():
