@@ -19,6 +19,7 @@ Rebuilds utils/rotinas.py's train/test/inference drivers (rotinas.py:571,
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -425,6 +426,9 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         )
         state = shard_state(mesh, state, zero1=config.zero1)
         step_fn = stage_step_fn(stage_cfgs[stage_index], state)
+        # Loss-set provenance, saved with every checkpoint (see the resume
+        # warning below for why it matters).
+        loss_meta = dataclasses.asdict(stage_cfgs[stage_index])
         if resume_path and not resumed:
             if resume_stage_finished:
                 # Stage-boundary resume: weights only; this stage keeps its
@@ -451,6 +455,21 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                 # the warmup-cosine schedule continues instead of
                 # restarting (the reference loses optimizer state on
                 # resume, SURVEY.md §5.4).
+                saved_loss = ck_meta.get("loss_config")
+                if saved_loss is not None and saved_loss != loss_meta:
+                    diff = {k: (saved_loss.get(k), v)
+                            for k, v in loss_meta.items()
+                            if saved_loss.get(k) != v}
+                    print(
+                        "[train] WARNING: full-state resume with a CHANGED "
+                        f"loss set {diff} — the restored Adam moments are "
+                        "calibrated to the old objective; their tiny second "
+                        "moments amplify any new loss term's gradients "
+                        "(measured collapse within 2 epochs at the 256^2 "
+                        "flagship point, PARITY.md 'x0-based aux losses'). "
+                        "To fine-tune with a new loss set, pass the "
+                        "checkpoint as --pretrained_path instead: params-"
+                        "only init, fresh optimizer + warmup.")
                 state = restore_state(resume_path, state)
                 # Count the restored optimizer step against max_steps so a
                 # resumed run finishes the ORIGINAL budget (and its cosine
@@ -527,6 +546,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     config.checkpoint_dir, epoch + 1,
                     f"{stage_name}_NAN_ABORT", datasets_tag, state,
                     metadata={"stage": stage_name, "epoch": epoch + 1,
+                              "loss_config": loss_meta,
                               "reason": "non-finite loss"})
                 logger.alert("non-finite loss", path)
                 raise FloatingPointError(
@@ -548,6 +568,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                     config.checkpoint_dir, epoch + 1, stage_name,
                     datasets_tag, state,
                     metadata={"stage": stage_name, "epoch": epoch + 1,
+                              "loss_config": loss_meta,
                               "probe": probe_state.get("last")},
                     block=not config.async_checkpoint,
                 )
@@ -570,6 +591,7 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
                                datasets_tag, state,
                                metadata={"stage": stage_name,
                                          "epoch": epochs_done,
+                                         "loss_config": loss_meta,
                                          "probe": probe_state.get("last"),
                                          "preempted": preempt["flag"]})
         export_npz_snapshot(state)

@@ -856,3 +856,71 @@ def test_train_with_device_resident_data(tmp_path):
         output_path=str(tmp_path / "out")))
     assert result["steps"] == 8  # 2 epochs x 2 domains x 16//8 batches
     assert np.isfinite(result["stages"][-1]["last_loss"])
+
+
+def test_resume_loss_set_mismatch_warns(tmp_path, capsys):
+    """Full-state resume under a CHANGED loss set must warn loudly, and
+    every checkpoint must carry loss-set provenance: restored Adam second
+    moments are calibrated to the old objective and amplify a new term's
+    gradients (measured collapse at the 256 flagship point, PARITY.md
+    'x0-based aux losses'). The safe protocol is --pretrained_path."""
+    import dataclasses
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        load_metadata,
+        save_checkpoint,
+    )
+    from hybrid_diffusion_tpu.train.loop import train
+
+    model = DynamicUNet(T=8, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        dropout=0.0)
+    x6 = jnp.zeros((2, 16, 16, 6))
+    params = model.init(jax.random.PRNGKey(0), x6, jnp.zeros(2, jnp.int32))
+    state = create_train_state(params, model.apply, total_epochs=4,
+                               steps_per_epoch=2)
+    schedule = linear_beta_schedule(1e-4, 0.02, 8)
+    step = make_train_step(
+        schedule, CompositeLossConfig(dino_weight=0, ms_ssim_weight=0,
+                                      color_weight=0), donate=False)
+    rng = np.random.RandomState(0)
+    batch = {"input": jnp.asarray(rng.randint(0, 255, (2, 16, 16, 3),
+                                              np.uint8)),
+             "gt": jnp.asarray(rng.randint(0, 255, (2, 16, 16, 3),
+                                           np.uint8))}
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    mse_only = dataclasses.asdict(CompositeLossConfig(
+        dino_weight=0, ms_ssim_weight=0, color_weight=0))
+    path = save_checkpoint(str(tmp_path), 1, "Stage", "SYN", state,
+                           metadata={"loss_config": mse_only})
+
+    ck2 = str(tmp_path / "ck2")
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                 save_checkpoint=1000, dino_weight=0.0, ms_ssim_weight=0.0,
+                 color_weight=1.0, bf16=False, checkpoint_dir=ck2,
+                 output_path=str(tmp_path / "out"), num_workers=1,
+                 compilation_cache="", resume_from=path)
+    train(cfg, max_steps=2)
+    out = capsys.readouterr().out
+    assert "CHANGED loss set" in out and "color_weight" in out
+    assert "--pretrained_path" in out
+
+    # The run's own stage-final checkpoint records its loss set.
+    meta = load_metadata(find_latest_checkpoint(ck2))
+    assert meta["loss_config"]["color_weight"] == 1.0
+
+    # Same loss set -> no warning (another full-state resume: metadata
+    # stage "Stage" is not a live stage name, so the stage-boundary
+    # params-only path is not taken).
+    same = dataclasses.asdict(CompositeLossConfig(
+        dino_weight=0, ms_ssim_weight=0, color_weight=1.0))
+    path2 = save_checkpoint(str(tmp_path / "ck3src"), 1, "Stage", "SYN",
+                            state, metadata={"loss_config": same})
+    cfg2 = Config(**{**cfg.__dict__, "resume_from": path2,
+                     "checkpoint_dir": str(tmp_path / "ck3")})
+    capsys.readouterr()
+    train(cfg2, max_steps=2)
+    assert "CHANGED loss set" not in capsys.readouterr().out
