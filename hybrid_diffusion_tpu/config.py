@@ -89,6 +89,13 @@ class Config:
     # paths / io
     pretrained_path: Optional[str] = None
     resume_from: Optional[str] = None         # full-state checkpoint resume
+    # Warm-start: initialize model weights from a flat params npz (the
+    # export_npz artifact) before training — fresh optimizer, step 0.
+    # This is how a run continues from a *committed* artifact after the
+    # orbax tree is gone (the reference's analogue: pretrained_path
+    # loading before training, rotinas.py:655-658). Ignored when
+    # resume_from is set (a full-state checkpoint carries more).
+    init_from_npz: str = ""
     # Non-empty: at every checkpoint save, also export the current best
     # sampling weights (mature EMA, else raw params) as one flat fp16 .npz
     # at this path (atomic replace) plus a <path>.json sidecar recording

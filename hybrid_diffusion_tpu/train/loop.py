@@ -168,6 +168,23 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     mesh = make_mesh(config.mesh_data, config.mesh_model)
     model = build_model(config)
     params = init_params(config, model)
+    if config.init_from_npz and not config.resume_from:
+        # Warm-start from a committed flat-npz artifact (fp16 storage ->
+        # f32 master weights via the template cast). Fresh optimizer and
+        # schedule — this is a new run standing on shipped weights, not a
+        # resume; use resume_from for full-state continuation.
+        from ..utils.params_io import load_params_npz
+
+        params = load_params_npz(config.init_from_npz, template=params)
+        side = config.init_from_npz + ".json"
+        src_step = None
+        if os.path.exists(side):
+            import json as _json
+
+            with open(side) as f:
+                src_step = _json.load(f).get("step")
+        print(f"[train] warm-start params from {config.init_from_npz}"
+              f"{f' (exported at step {src_step})' if src_step else ''}")
     schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
     logger = MetricsLogger(config.wandb, project=config.wandb_name,
                            config=config.__dict__)

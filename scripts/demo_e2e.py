@@ -101,6 +101,9 @@ def build_config(tmp: str, args) -> "Config":
         # Full-state resume (params + moments + schedule step) from a
         # prior demo run's checkpoint; "auto" = newest in checkpoint_dir.
         resume_from=args.resume_from,
+        # Warm-start weights from a committed npz (fresh optimizer) — the
+        # cross-round continuation path when the orbax tree was wiped.
+        init_from_npz=args.init_from_npz,
         # Round-survivable weights: every checkpoint save also exports the
         # best sampling weights (mature EMA, else raw) to this npz path —
         # a git-committable artifact outside the wiped output/ tree.
@@ -174,6 +177,10 @@ def main() -> int:
     p.add_argument("--resume_from", default=None,
                    help='checkpoint to resume full state from ("auto" = '
                         "newest under --keep/ckpt)")
+    p.add_argument("--init_from_npz", default="",
+                   help="warm-start model weights from a flat params npz "
+                        "(e.g. docs/assets/flagship256_fp16.npz); fresh "
+                        "optimizer — ignored when --resume_from is set")
     p.add_argument("--device_data", action="store_true",
                    help="keep the train corpus in HBM and gather batches "
                         "on device (no per-step image H2D)")

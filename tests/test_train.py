@@ -528,6 +528,54 @@ def test_export_npz_snapshot_during_training(tmp_path):
         rtol=2e-3, atol=2e-3)  # fp16 storage round-trip
 
 
+def test_init_from_npz_warm_starts_training(tmp_path, monkeypatch, capsys):
+    """init_from_npz: a new run stands on a committed npz's weights (fp16
+    -> f32 via the template cast), with a fresh optimizer — the cross-round
+    continuation path once the orbax tree under output/ is wiped."""
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train import loop as loop_mod
+    from hybrid_diffusion_tpu.train.loop import train
+
+    out_npz = tmp_path / "w.npz"
+    base = dict(synthetic_data=True, synthetic_length=8, batch_size=8,
+                img_size=16, channel=32, channel_mult=(1, 2),
+                num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                save_checkpoint=1, dino_weight=0.0, bf16=False,
+                ms_ssim_weight=0.0, color_weight=0.0, ema_decay=0.0,
+                num_workers=1, compilation_cache="")
+    train(Config(checkpoint_dir=str(tmp_path / "ck_a"),
+                 output_path=str(tmp_path / "oa"),
+                 export_npz=str(out_npz), **base))
+    assert out_npz.exists()
+
+    captured = {}
+    real = loop_mod.create_train_state
+
+    def spy(params, *args, **kwargs):
+        # Host copy: the live arrays are later donated into the jitted
+        # train step and deleted.
+        captured.setdefault("params", jax.device_get(params))
+        return real(params, *args, **kwargs)
+
+    monkeypatch.setattr(loop_mod, "create_train_state", spy)
+    train(Config(checkpoint_dir=str(tmp_path / "ck_b"),
+                 output_path=str(tmp_path / "ob"),
+                 init_from_npz=str(out_npz), **base))
+    assert "warm-start params from" in capsys.readouterr().out
+
+    import numpy as np_
+    from hybrid_diffusion_tpu.utils.params_io import flatten_params
+
+    with np_.load(out_npz) as z:
+        saved = {k: z[k] for k in z.files}
+    got = flatten_params(captured["params"])
+    assert set(got) == set(saved)
+    for k in saved:
+        # Exact: fp16 values are representable in the f32 master weights.
+        np_.testing.assert_array_equal(got[k].astype(np_.float16), saved[k])
+        assert got[k].dtype == np_.float32
+
+
 def test_grad_accum_matches_big_batch(tiny_setup):
     """k micro-steps with grad_accum=k == one step on the concatenated batch
     (same LR step; mean loss ⇒ averaged gradients)."""
@@ -757,6 +805,7 @@ def test_demo_e2e_staged_config_plumbing():
                 color_weight=0.0, dino_weight=0.0, ms_ssim_weight=0.0,
                 aux_snr_weight=True, eval_every=0, eval_probe_steps=15,
                 export_npz="", resume_from=None, device_data=False,
+                init_from_npz="/tmp/warm.npz",
                 stage1_losses="vgg=1.0,charbonnier=1.0,dino=0,color=0,"
                               "ms_ssim=0",
                 stage2_losses="charbonnier=1.0,color=1.0,ms_ssim=0.0045,"
@@ -771,6 +820,8 @@ def test_demo_e2e_staged_config_plumbing():
     assert s2.vgg_weight == 0.0 and s2.color_weight == 1.0
     assert s2.ms_ssim_weight == 0.0045
     assert s1.aux_snr_weight and s2.aux_snr_weight
+
+    assert staged.init_from_npz == "/tmp/warm.npz"
 
     joint = demo.build_config(
         "/tmp/x", argparse.Namespace(staged=False, **base))
