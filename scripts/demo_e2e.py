@@ -112,6 +112,12 @@ def build_config(tmp: str, args) -> "Config":
         # traffic drops to an index vector (required for multi-hour runs —
         # the axon plugin leaks host RAM per H2D transfer, CLAUDE.md).
         device_data=args.device_data,
+        # Live image-conditioning (cemb) path with per-example p_uncond
+        # dropout — the reference's ConditionalEmbedding + 2% branch made
+        # functional (Model.py:110-167, Diffusion.py:71-72; SURVEY §2.9.4).
+        use_conditioning=args.use_conditioning,
+        p_uncond=args.p_uncond,
+        unconditional_guidance_scale=args.guidance,
     )
 
 
@@ -184,6 +190,14 @@ def main() -> int:
     p.add_argument("--device_data", action="store_true",
                    help="keep the train corpus in HBM and gather batches "
                         "on device (no per-step image H2D)")
+    p.add_argument("--use_conditioning", action="store_true",
+                   help="train with the live cemb image-conditioning path "
+                        "and per-example CFG dropout (--p_uncond)")
+    p.add_argument("--p_uncond", type=float, default=0.1,
+                   help="per-example probability of zeroing cemb during "
+                        "conditioned training (CFG dropout)")
+    p.add_argument("--guidance", type=float, default=1.0,
+                   help="guidance scale used by the post-train eval")
     p.add_argument("--skip_floor", action="store_true",
                    help="skip the untrained-floor eval (already recorded)")
     p.add_argument("--out", default=None, help="write JSON summary here")

@@ -40,6 +40,11 @@ def main() -> int:
     p.add_argument("--sampler", default="",
                    help='"" = DDIM (reference); "dpm++2m" = fast sampler')
     p.add_argument("--ddim_steps", type=int, default=100)
+    p.add_argument("--guidance", type=float, default=1.0,
+                   help="classifier-free guidance scale w for the hybrid "
+                        "model's cemb path (reference Diffusion.py:259-261; "
+                        "meaningful only for weights trained with "
+                        "--use_conditioning)")
     p.add_argument("--split", default="val")
     p.add_argument("--fid", action="store_true",
                    help="also compute FID (random-init inception features "
@@ -69,6 +74,7 @@ def main() -> int:
         ddim=True,
         ddim_step=args.ddim_steps,
         sampler=args.sampler,
+        unconditional_guidance_scale=args.guidance,
         pretrained_path=args.ckpt,
         output_path=args.out_dir,
         compilation_cache=os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -81,6 +87,7 @@ def main() -> int:
         "checkpoint": args.ckpt,
         "sampler": args.sampler or "ddim",
         "steps": args.ddim_steps,
+        "guidance": args.guidance,
         # Drop non-finite values (e.g. fid=NaN when --fid is off): bare
         # NaN tokens make the file invalid strict JSON.
         "results": {d: {k: round(float(v), 3) for k, v in r.items()

@@ -576,6 +576,74 @@ def test_init_from_npz_warm_starts_training(tmp_path, monkeypatch, capsys):
         assert got[k].dtype == np_.float32
 
 
+def test_resume_auto_falls_back_to_npz_warm_start(tmp_path, capsys):
+    """--resume_from auto + --init_from_npz with no checkpoint yet (the
+    FIRST segment of a segmented warm-started run): falls back to the npz
+    warm-start instead of raising, and records the warm-start provenance
+    in the run's checkpoint metadata (ADVICE r4 items 1 and 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        load_metadata,
+    )
+    from hybrid_diffusion_tpu.train.loop import build_model, train
+    from hybrid_diffusion_tpu.utils.params_io import save_params_npz
+
+    base = dict(synthetic_data=True, synthetic_length=8, batch_size=8,
+                img_size=16, channel=32, channel_mult=(1, 2),
+                num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                save_checkpoint=1, dino_weight=0.0, bf16=False,
+                ms_ssim_weight=0.0, color_weight=0.0, ema_decay=0.0,
+                num_workers=1, compilation_cache="")
+    cfg = Config(checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "o"),
+                 resume_from="auto", init_from_npz=str(tmp_path / "w.npz"),
+                 lr=1e-5, **base)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 16, 16, 6)), jnp.zeros((1,), jnp.int32))
+    save_params_npz(str(tmp_path / "w.npz"), params)
+
+    train(cfg, max_steps=1)
+    out = capsys.readouterr().out
+    assert "falling back to the --init_from_npz warm-start" in out
+    assert "warm-start params from" in out
+
+    meta = load_metadata(find_latest_checkpoint(str(tmp_path / "ck")))
+    assert meta["init_from"]["path"] == str(tmp_path / "w.npz")
+
+
+def test_warm_start_high_lr_warns(tmp_path, capsys):
+    """Warm-starting shipped weights with the from-scratch default lr (or
+    higher) prints a degradation warning (ADVICE r4 item 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import build_model, train
+    from hybrid_diffusion_tpu.utils.params_io import save_params_npz
+
+    base = dict(synthetic_data=True, synthetic_length=8, batch_size=8,
+                img_size=16, channel=32, channel_mult=(1, 2),
+                num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                save_checkpoint=1, dino_weight=0.0, bf16=False,
+                ms_ssim_weight=0.0, color_weight=0.0, ema_decay=0.0,
+                num_workers=1, compilation_cache="")
+    cfg = Config(checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "o"),
+                 init_from_npz=str(tmp_path / "w.npz"), **base)
+    assert cfg.lr == type(cfg).lr  # the from-scratch default
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 16, 16, 6)), jnp.zeros((1,), jnp.int32))
+    save_params_npz(str(tmp_path / "w.npz"), params)
+    train(cfg, max_steps=1)
+    assert "WARNING: warm-starting trained weights" in capsys.readouterr().out
+
+
 def test_grad_accum_matches_big_batch(tiny_setup):
     """k micro-steps with grad_accum=k == one step on the concatenated batch
     (same LR step; mean loss ⇒ averaged gradients)."""
