@@ -158,6 +158,12 @@ class DownSample(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     fast: bool = True
+    # torch_pad: use torch's symmetric stride-2 padding (p=1 for the 3×3,
+    # p=2 for the 5×5) instead of XLA SAME (lo=0/hi=1 and lo=1/hi=2) — the
+    # two sample spatial positions one pixel apart. Bit-parity mode for
+    # golden tests against the reference (Model.py:170-178); training
+    # keeps SAME (the shipped flagship weights are SAME-trained).
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -166,16 +172,18 @@ class DownSample(nn.Module):
         b3 = self.param("b3", torch_bias_init(ch * 9), (ch,))
         k5 = self.param("k5", torch_kernel_init, (5, 5, ch, ch))
         b5 = self.param("b5", torch_bias_init(ch * 25), (ch,))
-        if self.fast:
+        if self.fast and not self.torch_pad:
             return fused_dual_downsample(x, k3, b3, k5, b5)
+        pad3 = ((1, 1), (1, 1)) if self.torch_pad else "SAME"
+        pad5 = ((2, 2), (2, 2)) if self.torch_pad else "SAME"
         dn3 = jax.lax.conv_dimension_numbers(x.shape, k3.shape,
                                              ("NHWC", "HWIO", "NHWC"))
         dn5 = jax.lax.conv_dimension_numbers(x.shape, k5.shape,
                                              ("NHWC", "HWIO", "NHWC"))
         a = jax.lax.conv_general_dilated(
-            x, k3.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn3)
+            x, k3.astype(x.dtype), (2, 2), pad3, dimension_numbers=dn3)
         b = jax.lax.conv_general_dilated(
-            x, k5.astype(x.dtype), (2, 2), "SAME", dimension_numbers=dn5)
+            x, k5.astype(x.dtype), (2, 2), pad5, dimension_numbers=dn5)
         return a + b + (b3 + b5).astype(x.dtype)
 
 
@@ -189,13 +197,26 @@ class UpSample(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     fast: bool = True
+    # torch_pad: reproduce torch ConvTranspose2d(5, 2, 2, output_padding=1)
+    # exactly — an lhs-dilated correlation with padding (2, 3) — instead of
+    # lax.conv_transpose SAME, whose output is the same values shifted one
+    # pixel. `kt` is interpreted as an HWIO correlation kernel either way
+    # (torch weights convert via spatial flip — convert_torch_weights.py).
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
         kt = self.param("kt", torch_kernel_init, (5, 5, ch, ch))
         bt = self.param("bt", torch_bias_init(ch * 25), (ch,))
-        if self.fast:
+        if self.torch_pad:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kt.shape, ("NHWC", "HWIO", "NHWC"))
+            x = jax.lax.conv_general_dilated(
+                x, kt.astype(x.dtype), (1, 1), ((2, 3), (2, 3)),
+                lhs_dilation=(2, 2), dimension_numbers=dn,
+            ) + bt.astype(x.dtype)
+        elif self.fast:
             x = conv_transpose_5x5_s2(x, kt) + bt.astype(x.dtype)
         else:
             x = jax.lax.conv_transpose(

@@ -80,6 +80,12 @@ class DynamicUNet(nn.Module):
     # the lever for large per-chip batches at 256² (HBM is the scaling
     # bottleneck, not MXU).
     remat: bool = False
+    # Bit-parity mode vs the torch reference: stride-2 convs use torch's
+    # symmetric padding and the up-path transpose uses torch's exact
+    # (2, 3) cropping instead of XLA SAME (a one-pixel phase shift — the
+    # one documented divergence, PARITY.md C4). Golden tests only; the
+    # shipped weights are SAME-trained.
+    torch_pad: bool = False
 
     @nn.compact
     def __call__(
@@ -128,7 +134,8 @@ class DynamicUNet(nn.Module):
                 hs.append(h)
             now_ch = out_ch
             if i != len(self.ch_mult) - 1:
-                h = DownSample(dtype=self.dtype, name=f"downsample_{i}")(h)
+                h = DownSample(dtype=self.dtype, torch_pad=self.torch_pad,
+                               name=f"downsample_{i}")(h)
                 hs.append(h)
 
         # Middle: 4 attention ResBlocks (domain-routed via gradient gates).
@@ -149,7 +156,8 @@ class DynamicUNet(nn.Module):
                 h = Block(out_ch=out_ch, attn=False, name=f"up_{i}_{b}",
                           deterministic=not train, **kw)(h, temb, cemb)
             if i != 0:
-                h = UpSample(dtype=self.dtype, name=f"upsample_{i}")(h)
+                h = UpSample(dtype=self.dtype, torch_pad=self.torch_pad,
+                             name=f"upsample_{i}")(h)
 
         # len(hs) == num_res_blocks + len(ch_mult) - 1 - num_res_blocks... the
         # reference leaves 2·num_res_blocks unused entries at the first level

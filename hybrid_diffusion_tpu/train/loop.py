@@ -660,12 +660,19 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
     return summary
 
 
-def make_sampler(config: Config, model: DynamicUNet, params, mesh=None):
+def make_sampler(config: Config, model: DynamicUNet, params, mesh=None,
+                 quantize_uint8: bool = False):
     """One jitted DDIM/DDPM sampler over the [-1,1] pipeline.
 
     With a multi-device `mesh`, the batch is sharded over the data axis
     (parallel.make_sharded_sampler) — linear sampling-throughput scaling,
     zero communication inside the scan.
+
+    quantize_uint8: emit clip(x·255, 0, 255).astype(uint8) instead of
+    [0,1] float — fused into the same jit (one dispatch per batch) and
+    bit-identical to quantizing the float output on the host, while the
+    D2H transfer shrinks 4× (the measured eval-pipeline bottleneck over
+    the tunnel at the 5-NFE production point).
     """
     schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
 
@@ -689,7 +696,10 @@ def make_sampler(config: Config, model: DynamicUNet, params, mesh=None):
         else:
             out = ddpm_sample(denoise, schedule, cond, rng,
                               guidance_scale=guidance)
-        return (out + 1.0) / 2.0  # [0, 1]
+        out01 = (out + 1.0) / 2.0  # [0, 1]
+        if quantize_uint8:
+            return jnp.clip(out01 * 255.0, 0, 255).astype(jnp.uint8)
+        return out01
 
     if mesh is not None and mesh.devices.size > 1:
         from ..parallel import make_sharded_sampler
@@ -755,8 +765,15 @@ def evaluate(config: Config, split: str = "test",
     # must then be divisible by the data-axis size.
     mesh = (make_mesh(config.mesh_data, config.mesh_model)
             if config.mesh_data else None)
-    sampler = make_sampler(config, model, params, mesh=mesh)
     fid_model = FID(image_size=config.img_size) if compute_fid else None
+    # With FID off, the sampler quantizes to uint8 on device: every
+    # downstream consumer (PSNR/SSIM/UIQM/imwrite) starts from exactly
+    # clip(x*255).astype(uint8), so results are bit-identical while the
+    # D2H fetch — the measured pipeline bottleneck over this tunnel at
+    # DPM++2M-5 — shrinks 4×. StreamingFID consumes f32 samples, so the
+    # float output is kept when FID is on.
+    sampler = make_sampler(config, model, params, mesh=mesh,
+                           quantize_uint8=fid_model is None)
 
     results = {}
     for domain in ("underwater", "atmospheric"):
@@ -838,7 +855,8 @@ def evaluate(config: Config, split: str = "test",
             if stream is not None:
                 stream.update(gt.astype(np.float32) / 255.0, sampled)
             for i in range(sampled.shape[0]):
-                img = np.clip(sampled[i] * 255.0, 0, 255).astype(np.uint8)
+                img = (sampled[i] if sampled.dtype == np.uint8 else
+                       np.clip(sampled[i] * 255.0, 0, 255).astype(np.uint8))
                 futs.append(pool.submit(score_image, gt[i], img, names[i]))
                 n += 1
 

@@ -171,6 +171,122 @@ def convert_inception_v3(sd: dict) -> dict:
     return out
 
 
+# ----------------------------------------------------------- DynamicUNet
+
+def convert_dynamic_unet(sd: dict, ch: int, ch_mult, num_res_blocks: int,
+                         num_middle_blocks: int = 4) -> dict:
+    """Reference DynamicUNet state_dict (diffusion/Model.py:382-517) →
+    this repo's models.DynamicUNet flat npz dict.
+
+    Layout rules (all verified by the full-forward golden test,
+    tests/test_models.py::test_full_unet_golden_vs_torch_reference):
+      - Conv2d OIHW → HWIO via transpose(2, 3, 1, 0)
+      - Linear (out, in) → Dense kernel (in, out) via .T
+      - GroupNorm weight/bias → scale/bias
+      - MultiheadAttention in_proj_weight (3C, C) → in_proj/kernel (C, 3C)
+      - ConvTranspose2d weight (in, out, kh, kw) → spatially flipped HWIO
+        (lax.conv_transpose correlates where torch convolves)
+    """
+    out = {}
+
+    def conv(dst, src):
+        out[f"params/{dst}/kernel"] = _np(
+            sd[f"{src}.weight"]).transpose(2, 3, 1, 0)
+        out[f"params/{dst}/bias"] = _np(sd[f"{src}.bias"])
+
+    def dense(dst, src):
+        out[f"params/{dst}/kernel"] = _np(sd[f"{src}.weight"]).T
+        out[f"params/{dst}/bias"] = _np(sd[f"{src}.bias"])
+
+    def norm(dst, src):
+        out[f"params/{dst}/scale"] = _np(sd[f"{src}.weight"])
+        out[f"params/{dst}/bias"] = _np(sd[f"{src}.bias"])
+
+    def resblock(dst, src, in_ch, out_ch, attn):
+        norm(f"{dst}/norm1", f"{src}.block1.0")
+        conv(f"{dst}/conv1", f"{src}.block1.2")
+        dense(f"{dst}/temb_proj", f"{src}.temb_proj.1")
+        dense(f"{dst}/cemb_proj", f"{src}.cond_proj.1")
+        norm(f"{dst}/norm2", f"{src}.block2.0")
+        conv(f"{dst}/conv2", f"{src}.block2.3")
+        if in_ch != out_ch:
+            conv(f"{dst}/shortcut", f"{src}.shortcut")
+        if attn:
+            out[f"params/{dst}/attn/in_proj/kernel"] = _np(
+                sd[f"{src}.attn.in_proj_weight"]).T
+            out[f"params/{dst}/attn/in_proj/bias"] = _np(
+                sd[f"{src}.attn.in_proj_bias"])
+            out[f"params/{dst}/attn/out_proj/kernel"] = _np(
+                sd[f"{src}.attn.out_proj.weight"]).T
+            out[f"params/{dst}/attn/out_proj/bias"] = _np(
+                sd[f"{src}.attn.out_proj.bias"])
+
+    # Embeddings.
+    out["params/time_embedding/table"] = _np(
+        sd["time_embedding.timembedding.0.weight"])
+    dense("time_embedding/dense1", "time_embedding.timembedding.1")
+    dense("time_embedding/dense2", "time_embedding.timembedding.3")
+    for i in (1, 2, 3):
+        conv(f"cond_embedding/conv{i}", f"cond_embedding.conv{i}")
+    dense("cond_embedding/dense1", "cond_embedding.linear1")
+    dense("cond_embedding/dense2", "cond_embedding.linear2")
+
+    conv("head", "head")
+
+    # Down path: the torch ModuleList interleaves ResBlocks and DownSamples
+    # in construction order (Model.py:409-423).
+    k = 0
+    now_ch = ch
+    chs = [ch]
+    for i, mult in enumerate(ch_mult):
+        out_ch = ch * mult
+        for b in range(num_res_blocks):
+            resblock(f"down_{i}_{b}", f"downblocks.{k}", now_ch, out_ch,
+                     attn=False)
+            now_ch = out_ch
+            chs.append(now_ch)
+            k += 1
+        if i != len(ch_mult) - 1:
+            out[f"params/downsample_{i}/k3"] = _np(
+                sd[f"downblocks.{k}.c1.weight"]).transpose(2, 3, 1, 0)
+            out[f"params/downsample_{i}/b3"] = _np(
+                sd[f"downblocks.{k}.c1.bias"])
+            out[f"params/downsample_{i}/k5"] = _np(
+                sd[f"downblocks.{k}.c2.weight"]).transpose(2, 3, 1, 0)
+            out[f"params/downsample_{i}/b5"] = _np(
+                sd[f"downblocks.{k}.c2.bias"])
+            chs.append(now_ch)
+            k += 1
+
+    for m in range(num_middle_blocks):
+        resblock(f"middle_{m}", f"middleblocks.{m}", now_ch, now_ch,
+                 attn=True)
+
+    # Up path (Model.py:434-445): ResBlock in_ch = popped skip + now_ch.
+    k = 0
+    for i, mult in reversed(list(enumerate(ch_mult))):
+        out_ch = ch * mult
+        for b in range(num_res_blocks):
+            in_ch = chs.pop() + now_ch
+            resblock(f"up_{i}_{b}", f"upblocks.{k}", in_ch, out_ch,
+                     attn=False)
+            now_ch = out_ch
+            k += 1
+        if i != 0:
+            # ConvTranspose2d weight (in, out, kh, kw): flip spatially,
+            # then (kh, kw, in, out).
+            w = _np(sd[f"upblocks.{k}.t.weight"])
+            out[f"params/upsample_{i}/kt"] = (
+                w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy())
+            out[f"params/upsample_{i}/bt"] = _np(sd[f"upblocks.{k}.t.bias"])
+            conv(f"upsample_{i}/c", f"upblocks.{k}.c")
+            k += 1
+
+    norm("tail_norm", "tail.0")
+    conv("tail_conv", "tail.2")
+    return out
+
+
 CONVERTERS = {
     "dino": convert_dino_vits14,
     "vgg16": convert_vgg16,
