@@ -33,13 +33,24 @@ def _guided_eps(
     t: jnp.ndarray,
     guidance_scale: float,
 ) -> jnp.ndarray:
-    """ε with classifier-free guidance (reference Diffusion.py:259-261).
+    """ε with classifier-free guidance (reference Diffusion.py:255-261).
 
-    guidance_scale is a static Python float: at 1.0 a single conditional call
-    is traced; otherwise cond+uncond are stacked into one 2B batch.
+    guidance_scale is a static Python float: at 1.0 a single call is traced
+    using the denoiser's OWN context default; otherwise cond+uncond are
+    stacked into one 2B batch.
+
+    The w==1 call deliberately does not pass context_zero: the model must
+    be sampled the way it was trained. The reference's w==1 call
+    (`self.model(input, t)`, Diffusion.py:257) hits its forward's
+    context_zero=True default — i.e. unconditional — and at reference HEAD
+    even its "conditional" eps does (the CFG branch is a double no-op,
+    SURVEY §2.9.4). Here `make_sampler` sets the denoiser default from
+    config.use_conditioning, so unconditionally-trained weights sample
+    unconditionally (no live random-init cemb at eval) and conditioned
+    weights sample conditionally.
     """
     if guidance_scale == 1.0:
-        return denoise_fn(x6, t, context_zero=False)
+        return denoise_fn(x6, t)
     both = jnp.concatenate([x6, x6], axis=0)
     t_both = jnp.concatenate([t, t], axis=0)
     # One model call; the context_zero mask is per-example.

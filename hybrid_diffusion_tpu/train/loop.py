@@ -363,7 +363,10 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
             def _sample(p, cond_u8, sub):
                 cond = normalize_uint8(cond_u8)
 
-                def denoise(x6, t, context_zero=True):
+                # Probe samples the way this run trains: conditioned runs
+                # score the live-cemb path (matching make_sampler).
+                def denoise(x6, t,
+                            context_zero=not config.use_conditioning):
                     return model.apply(p, x6, t, context_zero=context_zero)
 
                 out = dpm_solver_pp_2m_sample(
@@ -676,7 +679,17 @@ def make_sampler(config: Config, model: DynamicUNet, params, mesh=None,
     """
     schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
 
-    def denoise(x6, t, context_zero=True):
+    # Sample the way the model was trained: unconditionally-trained weights
+    # keep cemb zeroed (the reference's effective behavior — its w==1 call
+    # hits the forward's context_zero=True default, Diffusion.py:257);
+    # conditioning-trained weights (use_conditioning=True) sample with the
+    # live cemb. _guided_eps's w==1 path uses this default; w≠1 overrides
+    # per-example for the batched CFG mix.
+    uncond_default = not config.use_conditioning
+
+    def denoise(x6, t, context_zero=None):
+        if context_zero is None:
+            context_zero = uncond_default
         return model.apply(params, x6, t, context_zero=context_zero)
 
     guidance = config.unconditional_guidance_scale

@@ -45,6 +45,10 @@ def main() -> int:
                         "model's cemb path (reference Diffusion.py:259-261; "
                         "meaningful only for weights trained with "
                         "--use_conditioning)")
+    p.add_argument("--use_conditioning", action="store_true",
+                   help="weights were trained with the live cemb path: "
+                        "sample conditionally at w=1 (w!=1 always runs the "
+                        "batched cond/uncond CFG mix)")
     p.add_argument("--split", default="val")
     p.add_argument("--fid", action="store_true",
                    help="also compute FID (random-init inception features "
@@ -75,6 +79,7 @@ def main() -> int:
         ddim_step=args.ddim_steps,
         sampler=args.sampler,
         unconditional_guidance_scale=args.guidance,
+        use_conditioning=args.use_conditioning,
         pretrained_path=args.ckpt,
         output_path=args.out_dir,
         compilation_cache=os.environ.get("JAX_COMPILATION_CACHE_DIR",
