@@ -86,6 +86,12 @@ class Config:
     use_conditioning: bool = False            # live cemb path + CFG dropout
     p_uncond: float = 0.02
     domain_routing: bool = True
+    # Staged-recipe forgetting mitigation A/B: fraction of stage-2+ steps
+    # that train on the stage-1 domain instead (every round(1/f)-th batch
+    # is REPLACED, so the step budget is unchanged). 0 = the reference's
+    # pure-sequential protocol (rotinas.py:643-646), which in r4 lost
+    # 6.5 dB on the stage-1 domain (staged128_results_r4.json).
+    stage2_replay: float = 0.0
     # paths / io
     pretrained_path: Optional[str] = None
     resume_from: Optional[str] = None         # full-state checkpoint resume

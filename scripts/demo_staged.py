@@ -49,6 +49,14 @@ def main() -> int:
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--synthetic_length", type=int, default=256)
     p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="val-PSNR probe cadence in epochs; probes BOTH "
+                        "domains every time, so stage-2 forgetting of the "
+                        "stage-1 domain is visible live (VERDICT r4 #6)")
+    p.add_argument("--stage2_replay", type=float, default=0.0,
+                   help="fraction of stage-2 steps trained on the stage-1 "
+                        "domain (replacement, budget unchanged) — the "
+                        "forgetting-mitigation A/B arm")
     p.add_argument("--out", default=None)
     p.add_argument("--keep", default=None)
     args = p.parse_args()
@@ -87,6 +95,8 @@ def main() -> int:
         ddim_step=args.ddim_steps,
         save_checkpoint=10_000,
         log_every=50,
+        eval_every=args.eval_every,
+        stage2_replay=args.stage2_replay,
         checkpoint_dir=os.path.join(tmp, "ckpt"),
         output_path=os.path.join(tmp, "out"),
         compilation_cache=os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -100,7 +110,8 @@ def main() -> int:
         "recipe": {"stage1": STAGE1_LOSSES, "stage2": STAGE2_LOSSES,
                    "steps_per_stage": args.steps_per_stage,
                    "size": args.size, "channel": args.channel, "T": args.T,
-                   "aux_snr_weight": True},
+                   "aux_snr_weight": True,
+                   "stage2_replay": args.stage2_replay},
         "stages": [
             {"stage": s["stage"],
              "last_loss": (round(float(s["last_loss"]), 4)

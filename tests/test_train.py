@@ -1043,3 +1043,33 @@ def test_resume_loss_set_mismatch_warns(tmp_path, capsys):
     capsys.readouterr()
     train(cfg2, max_steps=2)
     assert "CHANGED loss set" not in capsys.readouterr().out
+
+
+def test_staged_stage2_replay_and_both_domain_probe(tmp_path, capsys):
+    """stage2_replay replaces every round(1/f)-th stage-2 batch with a
+    stage-1-domain batch (budget unchanged), and the eval probe scores
+    BOTH domains even in single-domain stages — the r4 staged run lost
+    6.5 dB on the stage-1 domain invisibly (VERDICT r4 weak #2/#6)."""
+    import json as _json
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.loop import train
+
+    cfg = Config(synthetic_data=True, synthetic_length=8, batch_size=8,
+                 img_size=16, channel=32, channel_mult=(1, 2),
+                 num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=2,
+                 joint_training=False, stage2_replay=0.5,
+                 eval_every=1, eval_probe_steps=2, eval_probe_batches=1,
+                 save_checkpoint=10, dino_weight=0.0, bf16=False,
+                 ms_ssim_weight=0.0, color_weight=0.0, ema_decay=0.0,
+                 num_workers=1, compilation_cache="",
+                 checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "o"))
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "replaying a atmospheric batch every 2 steps" in out
+
+    rows = [_json.loads(l) for l in
+            open(tmp_path / "o" / "eval_curve.jsonl")]
+    domains = {r["domain"] for r in rows}
+    assert domains == {"atmospheric", "underwater"}
