@@ -74,6 +74,15 @@ def main() -> int:
                    help="local CIFAR-10 dir (default: synthetic fixture)")
     p.add_argument("--out", default=None)
     p.add_argument("--keep", default=None)
+    p.add_argument("--load_npz", default=None,
+                   help="skip training: load params from a cfg_params.npz "
+                        "persisted by a previous run (same config)")
+    p.add_argument("--chunk_rows", type=int, default=0,
+                   help="sample each w in chunks of this many rows "
+                        "(10*chunk_rows images/call). The shared-tunnel TPU "
+                        "faults UNAVAILABLE on single executions of several "
+                        "minutes; n>=400 sweeps must chunk to ~80-image "
+                        "calls (~1 min each). 0 = one call per w.")
     args = p.parse_args()
 
     import jax
@@ -115,33 +124,50 @@ def main() -> int:
         "batch": args.batch, "img_size": args.img_size, "ws": ws,
     }}
 
-    t0 = time.time()
-    result = train_cfg(config, max_steps=args.steps)
-    summary["train"] = {
-        "steps": result["steps"],
-        "first_loss": round(result["losses"][0], 4),
-        "last_loss": round(result["losses"][-1], 4),
-        "wall_s": round(time.time() - t0, 1),
-    }
-    print(f"# trained {result['steps']} steps in {summary['train']['wall_s']}s"
-          f" loss {result['losses'][0]:.4f} -> {result['losses'][-1]:.4f}",
-          file=sys.stderr)
+    if args.load_npz:
+        # Sampling-only rerun on previously persisted params (e.g. after
+        # a killed sweep): same config, no retraining.
+        from hybrid_diffusion_tpu.utils.params_io import load_params_npz
 
-    # Persist the trained params so the sweep/grids can be regenerated
-    # later without retraining (flat npz of the param pytree).
-    import jax.tree_util as jtu
+        params = load_params_npz(args.load_npz)
+        summary["train"] = {"loaded_npz": args.load_npz}
+        print(f"# loaded params from {args.load_npz} (training skipped)",
+              file=sys.stderr)
+    else:
+        t0 = time.time()
+        result = train_cfg(config, max_steps=args.steps)
+        params = result["params"]
+        summary["train"] = {
+            "steps": result["steps"],
+            "first_loss": round(result["losses"][0], 4),
+            "last_loss": round(result["losses"][-1], 4),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(f"# trained {result['steps']} steps in "
+              f"{summary['train']['wall_s']}s loss "
+              f"{result['losses'][0]:.4f} -> {result['losses'][-1]:.4f}",
+              file=sys.stderr)
 
-    flat = {"/".join(str(k.key) for k in path): np.asarray(leaf)
-            for path, leaf in jtu.tree_flatten_with_path(result["params"])[0]}
-    np.savez(os.path.join(tmp, "cfg_params.npz"), **flat)
+        # Persist the trained params so the sweep/grids can be regenerated
+        # later without retraining (flat npz of the param pytree).
+        import jax.tree_util as jtu
+
+        flat = {"/".join(str(k.key) for k in path): np.asarray(leaf)
+                for path, leaf in
+                jtu.tree_flatten_with_path(result["params"])[0]}
+        np.savez(os.path.join(tmp, "cfg_params.npz"), **flat)
 
     # One jitted sampler with w as a traced argument: single compile for
     # the whole sweep.
     model = build_cfg_model(dataclasses.replace(config, dropout=0.0))
-    params = result["params"]
     schedule = linear_beta_schedule(config.beta_1, config.beta_T, config.T)
-    labels_np = np.repeat(np.arange(1, 11), config.nrow)  # +1-shifted
-    labels = jnp.asarray(labels_np, jnp.int32)
+    chunk_rows = args.chunk_rows or config.nrow
+    if config.nrow % chunk_rows:
+        raise SystemExit(f"--nrow {config.nrow} must be divisible by "
+                         f"--chunk_rows {chunk_rows}")
+    n_chunks = config.nrow // chunk_rows
+    chunk_labels_np = np.repeat(np.arange(1, 11), chunk_rows)  # +1-shifted
+    labels = jnp.asarray(chunk_labels_np, jnp.int32)
 
     def denoise(x, t, l):
         return model.apply(params, x, t, l)
@@ -153,14 +179,22 @@ def main() -> int:
     summary["sweep"] = []
     for i, w in enumerate(ws):
         t0 = time.time()
-        out = jax.block_until_ready(
-            sample(jnp.float32(w), jax.random.PRNGKey(1234)))
+        chunks = []
+        for c in range(n_chunks):
+            out = jax.block_until_ready(
+                sample(jnp.float32(w), jax.random.PRNGKey(1234 + 7919 * c)))
+            chunks.append(np.asarray(out))
         wall = time.time() - t0
-        imgs = (np.asarray((out + 1.0) / 2.0 * 255.0)
-                .clip(0, 255).astype(np.uint8))
+        # Row-major per class across chunks: class k's rows are the k-th
+        # blocks of every chunk, so labels repeat the chunk pattern.
+        imgs = (np.concatenate(chunks, axis=0) + 1.0) / 2.0 * 255.0
+        imgs = imgs.clip(0, 255).astype(np.uint8)
+        labels_np = np.tile(chunk_labels_np, n_chunks)
         acc, dist = template_accuracy(imgs, labels_np - 1, templates)
         png = os.path.join(tmp, f"cfg_grid_w{w:g}.png")
-        _write_png(png, _image_grid(imgs, config.nrow))
+        # Group the grid by class (chunked sampling interleaves classes).
+        order = np.argsort(labels_np, kind="stable")
+        _write_png(png, _image_grid(imgs[order], config.nrow))
         n_samp = len(labels_np)
         # 95% binomial CI (normal approx) — VERDICT r4 weak #3: a lift
         # smaller than one s.e. at n=80 cannot support a monotone-guidance
