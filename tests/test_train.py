@@ -311,7 +311,11 @@ def test_eval_every_writes_psnr_curve(tmp_path):
     assert rows, "probe wrote no rows"
     for r in rows:
         assert np.isfinite(r["psnr"]) and r["n"] > 0
-        assert r["domain"] == "atmospheric" and r["epoch"] == 2
+        assert r["epoch"] == 2
+    # The probe scores BOTH domains even in a single-domain stage, so
+    # cross-domain forgetting is visible live (the r4 staged recipe lost
+    # 6.5 dB on the stage-1 domain with no artifact to show when).
+    assert {r["domain"] for r in rows} == {"atmospheric", "underwater"}
 
 
 def test_joint_training_interleaves_domains(tmp_path):
@@ -874,6 +878,7 @@ def test_demo_e2e_staged_config_plumbing():
                 aux_snr_weight=True, eval_every=0, eval_probe_steps=15,
                 export_npz="", resume_from=None, device_data=False,
                 init_from_npz="/tmp/warm.npz",
+                use_conditioning=False, p_uncond=0.1, guidance=1.0,
                 stage1_losses="vgg=1.0,charbonnier=1.0,dino=0,color=0,"
                               "ms_ssim=0",
                 stage2_losses="charbonnier=1.0,color=1.0,ms_ssim=0.0045,"
