@@ -279,6 +279,25 @@ def train(config: Config, max_steps: Optional[int] = None) -> dict:
         from .checkpoint import load_metadata
 
         ck_meta = load_metadata(resume_path)
+        # Inherit warm-start provenance across segments: the first segment
+        # records --init_from_npz in its checkpoint metadata, and later
+        # segments resume from a checkpoint instead of re-reading the npz —
+        # but their exported-npz sidecars must keep naming the artifact the
+        # whole run stands on (same rationale as the loss-set provenance).
+        # Fall back to the CLI flag for runs whose early checkpoints predate
+        # this propagation.
+        if ck_meta.get("init_from"):
+            warm_meta = ck_meta["init_from"]
+        elif config.init_from_npz:
+            src_step = None
+            try:
+                import json as _json
+
+                with open(config.init_from_npz + ".json") as f:
+                    src_step = _json.load(f).get("step")
+            except (OSError, ValueError):
+                pass
+            warm_meta = {"path": config.init_from_npz, "src_step": src_step}
         stage_names = [s[0] for s in stages]
         resume_stage_finished = False
         if ck_meta.get("stage") in stage_names:

@@ -620,6 +620,59 @@ def test_resume_auto_falls_back_to_npz_warm_start(tmp_path, capsys):
     assert meta["init_from"]["path"] == str(tmp_path / "w.npz")
 
 
+def test_resume_inherits_warm_start_provenance(tmp_path, capsys):
+    """Segment 2+ of a warm-started segmented run resumes from a checkpoint,
+    not the npz — but its checkpoints AND exported-npz sidecars must keep
+    recording the artifact the whole run stands on (round 5: the segment-1
+    final export recorded init_from null, breaking the provenance chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_diffusion_tpu.config import Config
+    from hybrid_diffusion_tpu.train.checkpoint import (
+        find_latest_checkpoint,
+        load_metadata,
+    )
+    from hybrid_diffusion_tpu.train.loop import build_model, train
+    from hybrid_diffusion_tpu.utils.params_io import save_params_npz
+
+    base = dict(synthetic_data=True, synthetic_length=8, batch_size=8,
+                img_size=16, channel=32, channel_mult=(1, 2),
+                num_res_blocks=1, T=8, epochs_stage_1=1, epochs_stage_2=0,
+                save_checkpoint=1, dino_weight=0.0, bf16=False,
+                ms_ssim_weight=0.0, color_weight=0.0, ema_decay=0.0,
+                num_workers=1, compilation_cache="")
+    base["epochs_stage_1"] = 3
+    cfg = Config(checkpoint_dir=str(tmp_path / "ck"),
+                 output_path=str(tmp_path / "o"),
+                 resume_from="auto", init_from_npz=str(tmp_path / "w.npz"),
+                 export_npz=str(tmp_path / "exp.npz"),
+                 lr=1e-5, **base)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 16, 16, 6)), jnp.zeros((1,), jnp.int32))
+    save_params_npz(str(tmp_path / "w.npz"), params)
+
+    train(cfg, max_steps=2)  # segment 1: npz warm-start, ends mid-stage
+    capsys.readouterr()
+    # Segment 2 resumes full state from segment 1's mid-stage periodic
+    # checkpoint (epoch 1) — the real segmented-run shape.
+    from hybrid_diffusion_tpu.train.checkpoint import find_checkpoint
+
+    mid_ckpt = find_checkpoint(str(tmp_path / "ck"), 1)
+    assert mid_ckpt is not None
+    cfg2 = Config(**{**cfg.__dict__, "resume_from": mid_ckpt})
+    train(cfg2, max_steps=3)
+    assert "resumed full state" in capsys.readouterr().out
+
+    import json
+
+    meta = load_metadata(find_latest_checkpoint(str(tmp_path / "ck")))
+    assert meta["init_from"]["path"] == str(tmp_path / "w.npz")
+    with open(str(tmp_path / "exp.npz") + ".json") as f:
+        assert json.load(f)["init_from"]["path"] == str(tmp_path / "w.npz")
+
+
 def test_warm_start_high_lr_warns(tmp_path, capsys):
     """Warm-starting shipped weights with the from-scratch default lr (or
     higher) prints a degradation warning (ADVICE r4 item 4)."""
